@@ -1,0 +1,12 @@
+"""Test harness config: force JAX onto a virtual 8-device CPU mesh so
+sharding tests stand in for a TPU pod slice (SURVEY.md §4: sharded-vs-
+single-chip equality on a CPU mesh)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
