@@ -1,0 +1,178 @@
+"""Fixed-limb big-integer kernels for TPU (JAX/XLA).
+
+Representation: a 256-bit integer is a ``(..., 16)`` uint32 array of
+16-bit limbs, little-endian limb order.  16x16-bit limb products fit a
+uint32 exactly and column sums stay < 2^22, so the whole schoolbook
+multiplier runs on the VPU integer path with no 64-bit emulation — the
+TPU-native replacement for the reference's u64 Montgomery limbs
+(/root/reference/src/scalar/ristretto255.rs:642-714).
+
+All functions are shape-polymorphic over leading batch dims and are
+pure jnp (jit/vmap/shard_map friendly).  Hot compositions are fused by
+XLA; Pallas variants live in spartan_tpu.ff.pallas_kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+NLIMBS = 16  # limbs per 256-bit element
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+WIDE = 2 * NLIMBS  # limbs in a 512-bit product
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device packing
+# ---------------------------------------------------------------------------
+
+def int_to_limbs(x: int, n: int = NLIMBS) -> np.ndarray:
+    """One python int -> (n,) uint32 limb array (host helper)."""
+    return np.array([(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(n)],
+                    dtype=np.uint32)
+
+
+def limbs_to_int(a) -> int:
+    """(n,) limb array -> python int (host helper)."""
+    a = np.asarray(a, dtype=np.uint64)
+    return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(a))
+
+
+def ints_to_limbs(xs, n: int = NLIMBS) -> np.ndarray:
+    """List of ints -> (len, n) uint32, via a vectorized byte decode."""
+    raw = b"".join(int(x).to_bytes(2 * n, "little") for x in xs)
+    u16 = np.frombuffer(raw, dtype="<u2").reshape(len(xs), n)
+    return u16.astype(np.uint32)
+
+
+def limbs_to_ints(a) -> list[int]:
+    a = np.asarray(a, dtype=np.uint32)
+    flat = a.reshape(-1, a.shape[-1]).astype("<u2")
+    out = [int.from_bytes(row.tobytes(), "little") for row in flat]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Carry handling
+# ---------------------------------------------------------------------------
+
+def carry_prop(acc: jnp.ndarray) -> jnp.ndarray:
+    """Propagate carries so every limb is < 2^16.  ``acc`` limbs may hold
+    values up to 2^32-1; the final carry is dropped only if the caller
+    guarantees the true value fits the limb count (callers below size
+    their buffers so it does)."""
+    n = acc.shape[-1]
+    out = []
+    c = jnp.zeros(acc.shape[:-1], dtype=jnp.uint32)
+    for k in range(n):
+        v = acc[..., k] + c
+        out.append(v & LIMB_MASK)
+        c = v >> LIMB_BITS
+    return jnp.stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Wide multiply / small multiply / add / sub
+# ---------------------------------------------------------------------------
+
+def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(...,16) x (...,16) -> (...,32) full 512-bit product.
+
+    Schoolbook with lo/hi 16-bit split; column accumulators stay < 2^22
+    so a single final carry pass suffices.
+    """
+    na, nb = a.shape[-1], b.shape[-1]
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    acc = jnp.zeros((*shape, na + nb + 1), dtype=jnp.uint32)
+    for i in range(na):
+        p = a[..., i : i + 1] * b  # exact uint32 products
+        acc = acc.at[..., i : i + nb].add(p & LIMB_MASK)
+        acc = acc.at[..., i + 1 : i + 1 + nb].add(p >> LIMB_BITS)
+    return carry_prop(acc)[..., : na + nb]
+
+
+def mul_low(a: jnp.ndarray, b: jnp.ndarray, n: int = NLIMBS) -> jnp.ndarray:
+    """Low n limbs of a*b (i.e. a*b mod 2^(16n)) — the Montgomery m-step."""
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    acc = jnp.zeros((*shape, n + 1), dtype=jnp.uint32)
+    for i in range(n):
+        width = n - i
+        p = a[..., i : i + 1] * b[..., :width]
+        acc = acc.at[..., i : i + width].add(p & LIMB_MASK)
+        acc = acc.at[..., i + 1 : i + 1 + width].add(p >> LIMB_BITS)
+    return carry_prop(acc)[..., :n]
+
+
+def mul_small(a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Multiply by a small constant (k < 2^10), keeping limb count + 1."""
+    assert 0 <= k < (1 << 10)
+    p = a * jnp.uint32(k)
+    acc = jnp.zeros((*a.shape[:-1], a.shape[-1] + 1), dtype=jnp.uint32)
+    acc = acc.at[..., : a.shape[-1]].add(p & LIMB_MASK)
+    acc = acc.at[..., 1 : 1 + a.shape[-1]].add(p >> LIMB_BITS)
+    return carry_prop(acc)
+
+
+def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Limb-wise add + carry (result keeps max(len) limbs; caller sizes)."""
+    n = max(a.shape[-1], b.shape[-1])
+    a = pad_limbs(a, n)
+    b = pad_limbs(b, n)
+    return carry_prop(a + b)
+
+
+def pad_limbs(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    if a.shape[-1] == n:
+        return a
+    assert a.shape[-1] < n
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])]
+    return jnp.pad(a, pad)
+
+
+def sub_mod(a: jnp.ndarray, b: jnp.ndarray, modulus_limbs: jnp.ndarray) -> jnp.ndarray:
+    """(a - b) mod m for canonical a, b < m: compute a + m - b then
+    conditionally subtract m (constant-shape, branch-free)."""
+    t = carry_prop(a + modulus_limbs + (LIMB_MASK - b) + one_lsb(a))
+    # t = a + m - b, in [1 .. 2m); note (0xffff - b) + 1 = 2^16*... two's
+    # complement per limb with the +1 injected at limb 0 via one_lsb.
+    return cond_sub(t, modulus_limbs)
+
+
+def one_lsb(a: jnp.ndarray) -> jnp.ndarray:
+    """Array like a with 1 at limb 0 (for two's-complement +1)."""
+    z = jnp.zeros_like(a)
+    return z.at[..., 0].set(1)
+
+
+def ge(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a >= b limb-lexicographic compare; returns bool (...,)."""
+    gt = a > b
+    lt = a < b
+    # most significant differing limb decides; scan from the top
+    res = jnp.ones(a.shape[:-1], dtype=bool)  # equal -> True
+    for k in range(a.shape[-1]):
+        res = jnp.where(gt[..., k], True, jnp.where(lt[..., k], False, res))
+    return res
+
+
+def cond_sub(a: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """a - m if a >= m else a (single conditional subtract)."""
+    m = pad_limbs(jnp.broadcast_to(m, (*a.shape[:-1], m.shape[-1])), a.shape[-1])
+    need = ge(a, m)
+    diff = carry_prop(a + (LIMB_MASK - m) + one_lsb(a))[..., : a.shape[-1]]
+    # diff = a - m mod 2^(16n); valid exactly when need
+    return jnp.where(need[..., None], diff, a)
+
+
+def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """cond ? a : b with cond shaped (...,) and a,b (..., n)."""
+    return jnp.where(cond[..., None], a, b)
