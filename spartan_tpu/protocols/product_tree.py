@@ -1,0 +1,258 @@
+"""Grand-product (GKR-lite) circuits and their batched sumcheck
+evaluation proofs (reference src/product_tree.rs).
+
+TPU re-design: the reference keeps every circuit as its own
+DensePolynomial and loops over instances inside each sumcheck round
+(sumcheck.rs:254-424).  Here all same-shaped instances live in ONE
+(B, n, 16) device array — the per-round evaluations for all B circuits
+are a single batched kernel, and the per-layer tree build is one
+elementwise mul per layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.field import Q
+from ..core.merlin import Transcript
+from ..ff import fq
+from ..poly import dense
+from ..poly.unipoly import UniPoly
+from ..utils.errors import ProofVerifyError
+from .sumcheck import SumcheckInstanceProof, _r_mont
+
+
+def _to_ints(x: jnp.ndarray) -> list[int]:
+    return fq.decode_to_ints(x)
+
+
+@jax.jit
+def _evals_cubic_batched(A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray):
+    """Per-instance round evals at {0,2,3} of sum_i A[b,i]*B[b,i]*C[b,i].
+    All inputs (B, n, 16); returns three (B, 16) arrays."""
+    n = A.shape[1] // 2
+
+    def comb(a, b, c):
+        return fq.mul(fq.mul(a, b), c)
+
+    lo = [X[:, :n] for X in (A, B, C)]
+    hi = [X[:, n:] for X in (A, B, C)]
+    e0 = fq.sum_mod(comb(*lo), axis=1)
+    p2 = [fq.sub(fq.add(h, h), l) for h, l in zip(hi, lo)]
+    e2 = fq.sum_mod(comb(*p2), axis=1)
+    p3 = [fq.add(x2, fq.sub(h, l)) for x2, h, l in zip(p2, hi, lo)]
+    e3 = fq.sum_mod(comb(*p3), axis=1)
+    return e0, e2, e3
+
+
+@jax.jit
+def _bound_var_top_batched(Z: jnp.ndarray, r_m: jnp.ndarray) -> jnp.ndarray:
+    n = Z.shape[1] // 2
+    lo, hi = Z[:, :n], Z[:, n:]
+    return fq.add(lo, fq.mul(r_m, fq.sub(hi, lo)))
+
+
+class ProductCircuitBatch:
+    """B binary product trees over (B, n) leaf tables
+    (product_tree.rs:12-64, instance-batched)."""
+
+    def __init__(self, inputs: jnp.ndarray):
+        b, n, _ = inputs.shape
+        assert n & (n - 1) == 0 and n >= 2
+        self.num_layers = n.bit_length() - 1
+        self.left = [inputs[:, : n // 2]]
+        self.right = [inputs[:, n // 2 :]]
+        for _ in range(self.num_layers - 1):
+            prod = fq.mul(self.left[-1], self.right[-1])
+            half = prod.shape[1] // 2
+            self.left.append(prod[:, :half])
+            self.right.append(prod[:, half:])
+
+    def evaluate(self) -> list[int]:
+        root = fq.mul(self.left[-1][:, 0], self.right[-1][:, 0])
+        return _to_ints(root)
+
+
+class DotProductCircuitBatch:
+    """B weighted dot products <L, R . W> (product_tree.rs:66-108)."""
+
+    def __init__(self, left, right, weight):
+        self.left, self.right, self.weight = left, right, weight
+
+    def evaluate(self) -> list[int]:
+        prod = fq.mul(fq.mul(self.left, self.right), self.weight)
+        return _to_ints(fq.sum_mod(prod, axis=1))
+
+
+@dataclass
+class LayerProofBatched:
+    proof: SumcheckInstanceProof
+    claims_prod_left: list
+    claims_prod_right: list
+
+
+@dataclass
+class ProductCircuitEvalProofBatched:
+    """product_tree.rs:258-486."""
+
+    proof: list  # LayerProofBatched
+    claims_dotp: tuple  # (left, right, weight) final claims
+
+    @staticmethod
+    def prove(prod: ProductCircuitBatch,
+              dotp: DotProductCircuitBatch | None,
+              transcript: Transcript):
+        num_prod = prod.left[0].shape[0]
+        claims_to_verify = prod.evaluate()
+        claims_dotp_final = ([], [], [])
+        proof_layers = []
+        rand: list[int] = []
+
+        for layer_id in range(prod.num_layers - 1, -1, -1):
+            A = prod.left[layer_id]
+            Bt = prod.right[layer_id]
+            m = A.shape[1]
+            C_par = dense.eq_evals(rand)
+            assert C_par.shape[0] == m
+            num_rounds = m.bit_length() - 1
+
+            seq_tables = None
+            if layer_id == 0 and dotp is not None:
+                claims_to_verify = claims_to_verify + dotp.evaluate()
+                seq_tables = [dotp.left, dotp.right, dotp.weight]
+
+            coeffs = transcript.challenge_vector(
+                b"rand_coeffs_next_layer", len(claims_to_verify))
+            claim = sum(c * v for c, v in zip(coeffs, claims_to_verify)) % Q
+
+            # broadcast C across the par batch once per layer
+            C_b = jnp.broadcast_to(C_par[None], A.shape)
+            compressed = []
+            e = claim
+            r_round: list[int] = []
+            for _ in range(num_rounds):
+                e0v, e2v, e3v = (_to_ints(x) for x in
+                                 _evals_cubic_batched(A, Bt, C_b))
+                if seq_tables is not None:
+                    s0, s2, s3 = (_to_ints(x) for x in _evals_cubic_batched(
+                        seq_tables[0], seq_tables[1], seq_tables[2]))
+                    e0v, e2v, e3v = e0v + s0, e2v + s2, e3v + s3
+                e0 = sum(c * v for c, v in zip(coeffs, e0v)) % Q
+                e2 = sum(c * v for c, v in zip(coeffs, e2v)) % Q
+                e3 = sum(c * v for c, v in zip(coeffs, e3v)) % Q
+                poly = UniPoly.from_evals([e0, (e - e0) % Q, e2, e3])
+                poly.append_to_transcript(b"poly", transcript)
+                r_j = transcript.challenge_scalar(b"challenge_nextround")
+                r_round.append(r_j)
+                rm = _r_mont(r_j)
+                A = _bound_var_top_batched(A, rm)
+                Bt = _bound_var_top_batched(Bt, rm)
+                C_b = _bound_var_top_batched(C_b, rm)
+                if seq_tables is not None:
+                    seq_tables = [_bound_var_top_batched(T, rm)
+                                  for T in seq_tables]
+                e = poly.evaluate(r_j)
+                compressed.append(poly.compress())
+
+            claims_prod_left = _to_ints(A[:, 0])
+            claims_prod_right = _to_ints(Bt[:, 0])
+            for i in range(num_prod):
+                transcript.append_scalar(b"claim_prod_left", claims_prod_left[i])
+                transcript.append_scalar(b"claim_prod_right", claims_prod_right[i])
+
+            if layer_id == 0 and dotp is not None:
+                dl = _to_ints(seq_tables[0][:, 0])
+                dr = _to_ints(seq_tables[1][:, 0])
+                dw = _to_ints(seq_tables[2][:, 0])
+                for i in range(len(dl)):
+                    transcript.append_scalar(b"claim_dotp_left", dl[i])
+                    transcript.append_scalar(b"claim_dotp_right", dr[i])
+                    transcript.append_scalar(b"claim_dotp_weight", dw[i])
+                claims_dotp_final = (dl, dr, dw)
+
+            r_layer = transcript.challenge_scalar(b"challenge_r_layer")
+            claims_to_verify = [
+                (l + r_layer * (r - l)) % Q
+                for l, r in zip(claims_prod_left, claims_prod_right)
+            ]
+            rand = [r_layer] + r_round
+            proof_layers.append(LayerProofBatched(
+                SumcheckInstanceProof(compressed),
+                claims_prod_left, claims_prod_right))
+
+        return (ProductCircuitEvalProofBatched(proof_layers, claims_dotp_final),
+                rand)
+
+    def verify(self, claims_prod_vec: list[int], claims_dotp_vec: list[int],
+               n_leaves: int, transcript: Transcript):
+        """product_tree.rs:385-486.  Returns (claims_prod, claims_dotp,
+        rand)."""
+        num_layers = n_leaves.bit_length() - 1
+        if len(self.proof) != num_layers:
+            raise ProofVerifyError("product proof: wrong layer count")
+        rand: list[int] = []
+        claims_to_verify = list(claims_prod_vec)
+        claims_to_verify_dotp: list[int] = []
+        for num_rounds, i in enumerate(range(num_layers)):
+            if i == num_layers - 1:
+                claims_to_verify = claims_to_verify + list(claims_dotp_vec)
+
+            coeffs = transcript.challenge_vector(
+                b"rand_coeffs_next_layer", len(claims_to_verify))
+            claim = sum(c * v for c, v in zip(coeffs, claims_to_verify)) % Q
+            claim_last, rand_prod = self.proof[i].proof.verify(
+                claim, num_rounds, 3, transcript)
+
+            claims_prod_left = self.proof[i].claims_prod_left
+            claims_prod_right = self.proof[i].claims_prod_right
+            if (len(claims_prod_left) != len(claims_prod_vec)
+                    or len(claims_prod_right) != len(claims_prod_vec)):
+                raise ProofVerifyError("product proof: claim count")
+
+            for k in range(len(claims_prod_vec)):
+                transcript.append_scalar(b"claim_prod_left", claims_prod_left[k])
+                transcript.append_scalar(b"claim_prod_right", claims_prod_right[k])
+
+            assert len(rand) == len(rand_prod)
+            eq = 1
+            for a, b in zip(rand, rand_prod):
+                eq = eq * (a * b + (1 - a) * (1 - b)) % Q
+            claim_expected = sum(
+                coeffs[k] * (claims_prod_left[k] * claims_prod_right[k] % Q)
+                % Q * eq for k in range(len(claims_prod_vec))) % Q
+
+            if i == num_layers - 1:
+                num_prod = len(claims_prod_vec)
+                dl, dr, dw = self.claims_dotp
+                for k in range(len(dl)):
+                    transcript.append_scalar(b"claim_dotp_left", dl[k])
+                    transcript.append_scalar(b"claim_dotp_right", dr[k])
+                    transcript.append_scalar(b"claim_dotp_weight", dw[k])
+                    claim_expected = (
+                        claim_expected
+                        + coeffs[k + num_prod] * dl[k] % Q * dr[k] % Q * dw[k]
+                    ) % Q
+
+            if claim_expected != claim_last:
+                raise ProofVerifyError("product layer claim mismatch")
+
+            r_layer = transcript.challenge_scalar(b"challenge_r_layer")
+            claims_to_verify = [
+                (l + r_layer * (r - l)) % Q
+                for l, r in zip(claims_prod_left, claims_prod_right)
+            ]
+            if i == num_layers - 1:
+                dl, dr, dw = self.claims_dotp
+                for k in range(len(claims_dotp_vec) // 2):
+                    claims_to_verify_dotp.append(
+                        (dl[2 * k] + r_layer * (dl[2 * k + 1] - dl[2 * k])) % Q)
+                    claims_to_verify_dotp.append(
+                        (dr[2 * k] + r_layer * (dr[2 * k + 1] - dr[2 * k])) % Q)
+                    claims_to_verify_dotp.append(
+                        (dw[2 * k] + r_layer * (dw[2 * k + 1] - dw[2 * k])) % Q)
+
+            rand = [r_layer] + rand_prod
+        return claims_to_verify, claims_to_verify_dotp, rand

@@ -1,0 +1,276 @@
+"""Sumcheck protocols (reference src/sumcheck.rs), TPU-shaped.
+
+Per round, the prover evaluates the degree-d round polynomial at
+{0,2,3} with one fused device reduction over the halved tables, the
+host transcript absorbs the (committed) polynomial and returns the
+challenge, and one fused device kernel folds every table
+(bound_poly_var_top).  That host<->device cadence — log n round trips,
+each transferring a handful of scalars — is the central design
+constraint called out in SURVEY.md §3.1.
+
+Non-ZK variant sends the round polys in the clear; the ZK variant
+commits them and proves consistency with one DotProductProof per round
+(sumcheck.rs:427-776).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..commitments import MultiCommitGens, commit_scalar, commit_vector_host
+from ..core import ristretto as hri
+from ..core.field import Q
+from ..core.merlin import RandomTape, Transcript
+from ..curve.msm import vmsm
+from ..ff import fq
+from ..poly import dense
+from ..poly.unipoly import UniPoly
+from ..utils.errors import ProofVerifyError
+from .sigma import DotProductProof
+
+
+def _to_int(x: jnp.ndarray) -> int:
+    return fq.decode_to_ints(x[None])[0]
+
+
+def _r_mont(r: int) -> jnp.ndarray:
+    return fq.to_mont(jnp.asarray(fq.encode_ints([r])))
+
+
+# ---------------------------------------------------------------------------
+# Device round kernels
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _evals_quad(A: jnp.ndarray, B: jnp.ndarray):
+    """Round evals at {0,2} of sum_i A(i)*B(i) (comb = product)."""
+    n = A.shape[0] // 2
+    alo, ahi = A[:n], A[n:]
+    blo, bhi = B[:n], B[n:]
+    e0 = fq.sum_mod(fq.mul(alo, blo))
+    a2 = fq.sub(fq.add(ahi, ahi), alo)
+    b2 = fq.sub(fq.add(bhi, bhi), blo)
+    e2 = fq.sum_mod(fq.mul(a2, b2))
+    return e0, e2
+
+
+@jax.jit
+def _evals_cubic_additive(A, B, C, D):
+    """Round evals at {0,2,3} of sum_i A*(B*C - D) — phase-1 comb
+    (r1csproof.rs:85-89)."""
+    n = A.shape[0] // 2
+
+    def comb(a, b, c, d):
+        return fq.mul(a, fq.sub(fq.mul(b, c), d))
+
+    lo = [X[:n] for X in (A, B, C, D)]
+    hi = [X[n:] for X in (A, B, C, D)]
+    e0 = fq.sum_mod(comb(*lo))
+    p2 = [fq.sub(fq.add(h, h), l) for h, l in zip(hi, lo)]
+    e2 = fq.sum_mod(comb(*p2))
+    p3 = [fq.add(x2, fq.sub(h, l)) for x2, h, l in zip(p2, hi, lo)]
+    e3 = fq.sum_mod(comb(*p3))
+    return e0, e2, e3
+
+
+@jax.jit
+def _evals_cubic_prod(A, B, C):
+    """Round evals at {0,2,3} of sum_i A*B*C (product-tree comb)."""
+    n = A.shape[0] // 2
+
+    def comb(a, b, c):
+        return fq.mul(fq.mul(a, b), c)
+
+    lo = [X[:n] for X in (A, B, C)]
+    hi = [X[n:] for X in (A, B, C)]
+    e0 = fq.sum_mod(comb(*lo))
+    p2 = [fq.sub(fq.add(h, h), l) for h, l in zip(hi, lo)]
+    e2 = fq.sum_mod(comb(*p2))
+    p3 = [fq.add(x2, fq.sub(h, l)) for x2, h, l in zip(p2, hi, lo)]
+    e3 = fq.sum_mod(comb(*p3))
+    return e0, e2, e3
+
+
+# ---------------------------------------------------------------------------
+# Non-ZK sumcheck (SumcheckInstanceProof, sumcheck.rs:18-61,183-252)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SumcheckInstanceProof:
+    compressed_polys: list  # list[list[int]]
+
+    def verify(self, claim: int, num_rounds: int, degree_bound: int,
+               transcript: Transcript) -> tuple[int, list[int]]:
+        e = claim % Q
+        r = []
+        if len(self.compressed_polys) != num_rounds:
+            raise ProofVerifyError("wrong number of rounds")
+        for coeffs in self.compressed_polys:
+            poly = UniPoly.decompress(coeffs, e)
+            if poly.degree() != degree_bound:
+                raise ProofVerifyError("degree bound violated")
+            if (poly.eval_at_zero() + poly.eval_at_one()) % Q != e:
+                raise ProofVerifyError("sum claim mismatch")
+            poly.append_to_transcript(b"poly", transcript)
+            r_i = transcript.challenge_scalar(b"challenge_nextround")
+            r.append(r_i)
+            e = poly.evaluate(r_i)
+        return e, r
+
+    @staticmethod
+    def prove_cubic(claim: int, num_rounds: int, polys: list[jnp.ndarray],
+                    transcript: Transcript
+                    ) -> tuple["SumcheckInstanceProof", list[int], list[int]]:
+        """prove_cubic with comb = A*B*C (sumcheck.rs:183-252); ``polys``
+        = [A, B, C] device tables, consumed."""
+        A, B, C = polys
+        e = claim % Q
+        r = []
+        compressed = []
+        for _ in range(num_rounds):
+            e0, e2, e3 = (_to_int(x) for x in _evals_cubic_prod(A, B, C))
+            poly = UniPoly.from_evals([e0, (e - e0) % Q, e2, e3])
+            poly.append_to_transcript(b"poly", transcript)
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            r.append(r_j)
+            rm = _r_mont(r_j)
+            A = dense.bound_var_top(A, rm)
+            B = dense.bound_var_top(B, rm)
+            C = dense.bound_var_top(C, rm)
+            e = poly.evaluate(r_j)
+            compressed.append(poly.compress())
+        claims = [_to_int(A[0]), _to_int(B[0]), _to_int(C[0])]
+        return SumcheckInstanceProof(compressed), r, claims
+
+
+# ---------------------------------------------------------------------------
+# ZK sumcheck (ZKSumcheckInstanceProof, sumcheck.rs:64-179,427-776)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ZKSumcheckInstanceProof:
+    comm_polys: list  # bytes
+    comm_evals: list  # bytes
+    proofs: list  # DotProductProof
+
+    def verify(self, comm_claim: bytes, num_rounds: int, degree_bound: int,
+               gens_1: MultiCommitGens, gens_n: MultiCommitGens,
+               transcript: Transcript) -> tuple[bytes, list[int]]:
+        assert gens_n.n == degree_bound + 1
+        if len(self.comm_polys) != num_rounds or len(self.comm_evals) != num_rounds:
+            raise ProofVerifyError("wrong number of rounds")
+        r = []
+        for i in range(num_rounds):
+            comm_poly = self.comm_polys[i]
+            transcript.append_point(b"comm_poly", comm_poly)
+            r_i = transcript.challenge_scalar(b"challenge_nextround")
+            comm_claim_per_round = comm_claim if i == 0 else self.comm_evals[i - 1]
+            comm_eval = self.comm_evals[i]
+            transcript.append_point(b"comm_claim_per_round", comm_claim_per_round)
+            transcript.append_point(b"comm_eval", comm_eval)
+            w = transcript.challenge_vector(b"combine_two_claims_to_one", 2)
+            from .sigma import _decompress
+
+            comm_target = hri.encode(vmsm(
+                w, [_decompress(comm_claim_per_round), _decompress(comm_eval)]
+            ))
+            a_sc = [1] * (degree_bound + 1)
+            a_sc[0] = 2
+            a_eval = [1]
+            for _ in range(degree_bound):
+                a_eval.append(a_eval[-1] * r_i % Q)
+            a = [(w[0] * x + w[1] * y) % Q for x, y in zip(a_sc, a_eval)]
+            self.proofs[i].verify(gens_1, gens_n, transcript, a,
+                                  comm_poly, comm_target)
+            r.append(r_i)
+        return self.comm_evals[-1], r
+
+    @staticmethod
+    def _prove_rounds(claim: int, blind_claim: int, num_rounds: int,
+                      tables: list[jnp.ndarray], evals_fn, degree: int,
+                      gens_1: MultiCommitGens, gens_n: MultiCommitGens,
+                      transcript: Transcript, tape: RandomTape):
+        """Shared round loop for prove_quad / prove_cubic_with_additive_term
+        (identical structure, sumcheck.rs:428-586 vs 588-776)."""
+        blinds_poly = tape.random_vector(b"blinds_poly", num_rounds)
+        blinds_evals = tape.random_vector(b"blinds_evals", num_rounds)
+        claim_per_round = claim % Q
+        comm_claim_per_round = hri.encode(
+            commit_scalar(claim_per_round, blind_claim, gens_1))
+
+        r: list[int] = []
+        comm_polys: list[bytes] = []
+        comm_evals: list[bytes] = []
+        proofs: list[DotProductProof] = []
+
+        for j in range(num_rounds):
+            es = [_to_int(x) for x in evals_fn(*tables)]
+            e0 = es[0]
+            evals = [e0, (claim_per_round - e0) % Q] + es[1:]
+            poly = UniPoly.from_evals(evals)
+            comm_poly = hri.encode(
+                commit_vector_host(poly.coeffs, blinds_poly[j], gens_n))
+            transcript.append_point(b"comm_poly", comm_poly)
+            comm_polys.append(comm_poly)
+
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            rm = _r_mont(r_j)
+            tables = [dense.bound_var_top(T, rm) for T in tables]
+
+            eval_r = poly.evaluate(r_j)
+            comm_eval = hri.encode(
+                commit_scalar(eval_r, blinds_evals[j], gens_1))
+            transcript.append_point(b"comm_claim_per_round", comm_claim_per_round)
+            transcript.append_point(b"comm_eval", comm_eval)
+            w = transcript.challenge_vector(b"combine_two_claims_to_one", 2)
+
+            target = (w[0] * claim_per_round + w[1] * eval_r) % Q
+            blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
+            blind = (w[0] * blind_sc + w[1] * blinds_evals[j]) % Q
+
+            a_sc = [1] * (poly.degree() + 1)
+            a_sc[0] = 2
+            a_eval = [1]
+            for _ in range(poly.degree()):
+                a_eval.append(a_eval[-1] * r_j % Q)
+            a = [(w[0] * x + w[1] * y) % Q for x, y in zip(a_sc, a_eval)]
+
+            proof, _, _ = DotProductProof.prove(
+                gens_1, gens_n, transcript, tape,
+                poly.coeffs, blinds_poly[j], a, target, blind)
+
+            proofs.append(proof)
+            claim_per_round = eval_r
+            comm_claim_per_round = comm_eval
+            r.append(r_j)
+            comm_evals.append(comm_eval)
+
+        final_claims = [_to_int(T[0]) for T in tables]
+        return (
+            ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs),
+            r,
+            final_claims,
+            blinds_evals[num_rounds - 1],
+        )
+
+    @staticmethod
+    def prove_quad(claim: int, blind_claim: int, num_rounds: int,
+                   poly_A: jnp.ndarray, poly_B: jnp.ndarray,
+                   gens_1: MultiCommitGens, gens_n: MultiCommitGens,
+                   transcript: Transcript, tape: RandomTape):
+        return ZKSumcheckInstanceProof._prove_rounds(
+            claim, blind_claim, num_rounds, [poly_A, poly_B],
+            _evals_quad, 2, gens_1, gens_n, transcript, tape)
+
+    @staticmethod
+    def prove_cubic_with_additive_term(
+            claim: int, blind_claim: int, num_rounds: int,
+            poly_A, poly_B, poly_C, poly_D,
+            gens_1: MultiCommitGens, gens_n: MultiCommitGens,
+            transcript: Transcript, tape: RandomTape):
+        return ZKSumcheckInstanceProof._prove_rounds(
+            claim, blind_claim, num_rounds, [poly_A, poly_B, poly_C, poly_D],
+            _evals_cubic_additive, 3, gens_1, gens_n, transcript, tape)

