@@ -88,16 +88,14 @@ def _derive_gens(label: bytes, count: int) -> tuple:
 def commit_scalar(x: int, blind: int, gens: MultiCommitGens) -> hed.Point:
     """Scalar::commit (commitments.rs:75-80): x*G[0] + blind*h."""
     assert gens.n == 1
-    return gens.G[0].mul(x % Q).add(gens.h.mul(blind % Q))
+    return hed.msm([x % Q, blind % Q], [gens.G[0], gens.h])
 
 
 def commit_vector_host(xs, blind: int, gens: MultiCommitGens) -> hed.Point:
-    """[Scalar]::commit on host (small vectors; sigma protocols)."""
+    """[Scalar]::commit on host (small vectors; sigma protocols).
+    One host MSM call (native Pippenger when available)."""
     assert gens.n == len(xs)
-    acc = gens.h.mul(blind % Q)
-    for x, g in zip(xs, gens.G):
-        acc = acc.add(g.mul(x % Q))
-    return acc
+    return hed.msm([x % Q for x in xs] + [blind % Q], gens.G + [gens.h])
 
 
 def commit_vector_device(

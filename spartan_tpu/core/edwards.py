@@ -11,6 +11,12 @@ from __future__ import annotations
 from .field import P25519 as P
 from .field import finv
 
+
+def _native_lib():
+    from .. import native
+
+    return native.get_lib()
+
 # Edwards d = -121665/121666 mod p.
 D = (-121665 * pow(121666, -1, P)) % P
 D2 = (2 * D) % P
@@ -79,10 +85,29 @@ class Point:
     def neg(self) -> "Point":
         return Point((-self.X) % P, self.Y, self.Z, (-self.T) % P)
 
+    def _blob(self) -> bytes:
+        """Native ABI: X|Y|Z|T, 32 canonical LE bytes each."""
+        return b"".join(
+            v.to_bytes(32, "little") for v in (self.X, self.Y, self.Z, self.T))
+
+    @staticmethod
+    def _from_blob(b: bytes) -> "Point":
+        return Point(*(int.from_bytes(b[32 * i : 32 * i + 32], "little")
+                       for i in range(4)))
+
     def mul(self, k: int) -> "Point":
-        """Double-and-add scalar multiplication (host path; variable time —
-        fine for public data, mirroring the reference's vartime MSM use)."""
+        """Scalar multiplication (host path; variable time — fine for
+        public data, mirroring the reference's vartime MSM use).  Uses
+        the native windowed ladder when available."""
         k %= 2**256
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+
+            out = ctypes.create_string_buffer(128)
+            lib.spartan_ge_scalarmul(
+                self._blob(), k.to_bytes(32, "little"), out)
+            return Point._from_blob(out.raw)
         acc = Point.identity()
         add = self
         while k:
@@ -109,8 +134,19 @@ BASEPOINT = Point.from_affine(_recover_x(BASE_Y, 0), BASE_Y)
 
 
 def msm(scalars: list[int], points: list["Point"]) -> Point:
-    """Host multiscalar multiplication (small sizes only; the real MSM
-    lives on device — curve/msm.py). Mirrors group.rs:98-117 semantics."""
+    """Host multiscalar multiplication (native Pippenger when available;
+    the bulk MSM lives on device — curve/msm.py).  Mirrors
+    group.rs:98-117 semantics (variable time, public data)."""
+    lib = _native_lib()
+    if lib is not None and len(scalars) > 0:
+        import ctypes
+
+        pts = b"".join(p._blob() for p in points)
+        sc = b"".join((int(s) % 2**256).to_bytes(32, "little")
+                      for s in scalars)
+        out = ctypes.create_string_buffer(128)
+        lib.spartan_ge_msm(pts, sc, len(scalars), out)
+        return Point._from_blob(out.raw)
     acc = Point.identity()
     for s, pt in zip(scalars, points):
         acc = acc.add(pt.mul(s))

@@ -10,7 +10,7 @@ import os
 import struct
 
 from .field import Q, from_bytes_wide, to_bytes
-from .strobe import Strobe128
+from .strobe import make_strobe
 
 MERLIN_PROTOCOL_LABEL = b"Merlin v1.0"
 
@@ -19,7 +19,7 @@ class Transcript:
     """merlin::Transcript."""
 
     def __init__(self, label: bytes):
-        self.strobe = Strobe128(MERLIN_PROTOCOL_LABEL)
+        self.strobe = make_strobe(MERLIN_PROTOCOL_LABEL)
         self.append_message(b"dom-sep", label)
 
     def append_message(self, label: bytes, message: bytes) -> None:

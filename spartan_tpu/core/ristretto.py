@@ -38,11 +38,25 @@ def _init_constants() -> None:
 _init_constants()
 
 
+def _native_lib():
+    from .. import native
+
+    return native.get_lib()
+
+
 def decode(b: bytes) -> Point | None:
     """RFC 9496 §4.3.1 DECODE. Returns None for invalid encodings
     (the reference surfaces this as DecompressionError, group.rs:14-21)."""
     if len(b) != 32:
         return None
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        out = ctypes.create_string_buffer(128)
+        if lib.spartan_ristretto_decode(bytes(b), out) != 0:
+            return None
+        return Point._from_blob(out.raw)
     s = int.from_bytes(b, "little")
     if s >= P or is_negative(s):
         return None
@@ -64,6 +78,13 @@ def decode(b: bytes) -> Point | None:
 
 def encode(pt: Point) -> bytes:
     """RFC 9496 §4.3.2 ENCODE from extended coordinates."""
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        out = ctypes.create_string_buffer(32)
+        lib.spartan_ristretto_encode(pt._blob(), out)
+        return out.raw
     X, Y, Z, T = pt.X, pt.Y, pt.Z, pt.T
     u1 = (Z + Y) * (Z - Y) % P
     u2 = X * Y % P
@@ -110,6 +131,13 @@ def from_uniform_bytes(b: bytes) -> Point:
     dalek's RistrettoPoint::from_uniform_bytes used by MultiCommitGens
     (reference commitments.rs:15-33)."""
     assert len(b) == 64
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        out = ctypes.create_string_buffer(128)
+        lib.spartan_ristretto_from_uniform(bytes(b), out)
+        return Point._from_blob(out.raw)
     mask = (1 << 255) - 1
     t0 = (int.from_bytes(b[:32], "little") & mask) % P
     t1 = (int.from_bytes(b[32:], "little") & mask) % P

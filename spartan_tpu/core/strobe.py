@@ -19,6 +19,52 @@ FLAG_M = 1 << 4
 FLAG_K = 1 << 5
 
 
+class _Strobe128Native:
+    """ctypes shim over the C++ STROBE (native/host_crypto.cpp); the
+    203-byte state buffer (200-byte sponge + pos/pos_begin/flags) lives
+    in Python so transcripts stay copyable."""
+
+    __slots__ = ("buf",)
+
+    def __init__(self, protocol_label: bytes):
+        import ctypes
+
+        from .. import native
+
+        self.buf = bytearray(203)
+        cbuf = (ctypes.c_char * 203).from_buffer(self.buf)
+        native.get_lib().spartan_strobe_init(
+            cbuf, protocol_label, len(protocol_label))
+
+    def _op(self, name: str, data: bytes, more: bool) -> None:
+        import ctypes
+
+        from .. import native
+
+        cbuf = (ctypes.c_char * 203).from_buffer(self.buf)
+        getattr(native.get_lib(), name)(
+            cbuf, bytes(data), len(data), 1 if more else 0)
+
+    def meta_ad(self, data: bytes, more: bool) -> None:
+        self._op("spartan_strobe_meta_ad", data, more)
+
+    def ad(self, data: bytes, more: bool) -> None:
+        self._op("spartan_strobe_ad", data, more)
+
+    def key(self, data: bytes, more: bool) -> None:
+        self._op("spartan_strobe_key", data, more)
+
+    def prf(self, n: int, more: bool) -> bytes:
+        import ctypes
+
+        from .. import native
+
+        cbuf = (ctypes.c_char * 203).from_buffer(self.buf)
+        out = ctypes.create_string_buffer(n)
+        native.get_lib().spartan_strobe_prf(cbuf, out, n, 1 if more else 0)
+        return out.raw
+
+
 class Strobe128:
     __slots__ = ("state", "pos", "pos_begin", "cur_flags")
 
@@ -97,3 +143,13 @@ class Strobe128:
     def key(self, data: bytes, more: bool) -> None:
         self._begin_op(FLAG_A | FLAG_C, more)
         self._overwrite(data)
+
+
+def make_strobe(protocol_label: bytes):
+    """Factory: native STROBE when the C++ library is available, else the
+    pure-Python sponge above (byte-identical output either way)."""
+    from .. import native
+
+    if native.available():
+        return _Strobe128Native(protocol_label)
+    return Strobe128(protocol_label)

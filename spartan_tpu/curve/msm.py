@@ -249,11 +249,11 @@ def vmsm(scalars: list[int], points: list) -> "object":
     n = len(scalars)
     if n == 0:
         return hed.Point.identity()
-    if n < 192:
-        acc = hed.Point.identity()
-        for s, pt in zip(scalars, points):
-            acc = acc.add(pt.mul(s))
-        return acc
+    from .. import native
+
+    host_max = 4096 if native.available() else 192
+    if n < host_max:
+        return hed.msm(list(scalars), list(points))
     s = jnp.asarray(limb.ints_to_limbs([int(x) for x in scalars]))
     out = msm(s, ed.from_host(list(points)))
     return ed.to_host(PointArray(*(pc[None] for pc in out)))[0]

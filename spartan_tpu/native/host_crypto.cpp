@@ -1,0 +1,735 @@
+// Native host-crypto core for spartan_tpu.
+//
+// TPU-native split: the device (JAX/Pallas) owns bulk field/MSM compute;
+// this library owns the *host* serial paths that the reference gets from
+// Rust crates — the merlin/STROBE transcript (keccak-f[1600] sponge),
+// ristretto255 point codec, and small/mid-size variable-time MSM
+// (reference src/group.rs, src/transcript.rs via the merlin crate).
+//
+// Field arithmetic: 5x51-bit limbs mod 2^255-19 (the standard ref10/dalek
+// representation) with unsigned __int128 accumulation.
+//
+// ABI (all little-endian):
+//   fe/point blob: extended coordinates X,Y,Z,T, canonical 32 bytes each
+//   scalar: 32 bytes (any 256-bit value; used vartime, public data only)
+//   strobe state: 200-byte sponge + pos + pos_begin + cur_flags (203 B)
+//
+// Build: g++ -O3 -shared -fPIC (see native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+typedef uint8_t u8;
+
+// ===========================================================================
+// keccak-f[1600]
+// ===========================================================================
+
+static const u64 KECCAK_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+    0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+    0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+
+static inline u64 rol64(u64 v, unsigned n) {
+  n &= 63;
+  return n ? ((v << n) | (v >> (64 - n))) : v;
+}
+
+extern "C" void spartan_keccak_f1600(u8 state[200]) {
+  u64 a[25];
+  memcpy(a, state, 200);
+  static const unsigned ROT[5][5] = {
+      {0, 36, 3, 41, 18}, {1, 44, 10, 45, 2}, {62, 6, 43, 15, 61},
+      {28, 55, 25, 21, 56}, {27, 20, 39, 8, 14}};
+  for (int rnd = 0; rnd < 24; rnd++) {
+    u64 c[5], d[5], b[25];
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; x++)
+      d[x] = c[(x + 4) % 5] ^ rol64(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++) a[x + 5 * y] ^= d[x];
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rol64(a[x + 5 * y], ROT[x][y]);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        a[x + 5 * y] = b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) &
+                                       b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= KECCAK_RC[rnd];
+  }
+  memcpy(state, a, 200);
+}
+
+// ===========================================================================
+// STROBE-128 (merlin subset: meta_ad / ad / prf / key)
+// ===========================================================================
+
+static const int STROBE_R = 166;
+enum { FLAG_I = 1, FLAG_A = 2, FLAG_C = 4, FLAG_T = 8, FLAG_M = 16, FLAG_K = 32 };
+
+struct StrobeState {
+  u8 st[200];
+  u8 pos;
+  u8 pos_begin;
+  u8 cur_flags;
+};  // 203 bytes
+
+static void strobe_run_f(StrobeState* s) {
+  s->st[s->pos] ^= s->pos_begin;
+  s->st[s->pos + 1] ^= 0x04;
+  s->st[STROBE_R + 1] ^= 0x80;
+  spartan_keccak_f1600(s->st);
+  s->pos = 0;
+  s->pos_begin = 0;
+}
+
+static void strobe_absorb(StrobeState* s, const u8* data, size_t n) {
+  for (size_t i = 0; i < n; i++) {
+    s->st[s->pos] ^= data[i];
+    if (++s->pos == STROBE_R) strobe_run_f(s);
+  }
+}
+
+static void strobe_overwrite(StrobeState* s, const u8* data, size_t n) {
+  for (size_t i = 0; i < n; i++) {
+    s->st[s->pos] = data[i];
+    if (++s->pos == STROBE_R) strobe_run_f(s);
+  }
+}
+
+static void strobe_squeeze(StrobeState* s, u8* out, size_t n) {
+  for (size_t i = 0; i < n; i++) {
+    out[i] = s->st[s->pos];
+    s->st[s->pos] = 0;
+    if (++s->pos == STROBE_R) strobe_run_f(s);
+  }
+}
+
+static void strobe_begin_op(StrobeState* s, u8 flags, int more) {
+  if (more) return;  // flag equality is asserted python-side
+  u8 hdr[2] = {s->pos_begin, flags};
+  s->pos_begin = s->pos + 1;
+  s->cur_flags = flags;
+  strobe_absorb(s, hdr, 2);
+  if ((flags & (FLAG_C | FLAG_K)) && s->pos != 0) strobe_run_f(s);
+}
+
+extern "C" void spartan_strobe_init(u8* buf, const u8* label, size_t n) {
+  StrobeState* s = (StrobeState*)buf;
+  memset(s, 0, sizeof(StrobeState));
+  const u8 hdr[6] = {1, (u8)(STROBE_R + 2), 1, 0, 1, 96};
+  memcpy(s->st, hdr, 6);
+  memcpy(s->st + 6, "STROBEv1.0.2", 12);
+  spartan_keccak_f1600(s->st);
+  // meta_ad(label, false)
+  strobe_begin_op(s, FLAG_M | FLAG_A, 0);
+  strobe_absorb(s, label, n);
+}
+
+extern "C" void spartan_strobe_meta_ad(u8* buf, const u8* d, size_t n, int more) {
+  StrobeState* s = (StrobeState*)buf;
+  strobe_begin_op(s, FLAG_M | FLAG_A, more);
+  strobe_absorb(s, d, n);
+}
+
+extern "C" void spartan_strobe_ad(u8* buf, const u8* d, size_t n, int more) {
+  StrobeState* s = (StrobeState*)buf;
+  strobe_begin_op(s, FLAG_A, more);
+  strobe_absorb(s, d, n);
+}
+
+extern "C" void spartan_strobe_prf(u8* buf, u8* out, size_t n, int more) {
+  StrobeState* s = (StrobeState*)buf;
+  strobe_begin_op(s, FLAG_I | FLAG_A | FLAG_C, more);
+  strobe_squeeze(s, out, n);
+}
+
+extern "C" void spartan_strobe_key(u8* buf, const u8* d, size_t n, int more) {
+  StrobeState* s = (StrobeState*)buf;
+  strobe_begin_op(s, FLAG_A | FLAG_C, more);
+  strobe_overwrite(s, d, n);
+}
+
+// ===========================================================================
+// fe25519: 5x51-bit limbs mod 2^255-19
+// ===========================================================================
+
+struct fe {
+  u64 v[5];
+};
+
+static const u64 M51 = (1ULL << 51) - 1;
+
+static void fe_frombytes(fe* h, const u8 s[32]) {
+  u64 u0, u1, u2, u3;
+  memcpy(&u0, s, 8);
+  memcpy(&u1, s + 8, 8);
+  memcpy(&u2, s + 16, 8);
+  memcpy(&u3, s + 24, 8);
+  h->v[0] = u0 & M51;
+  h->v[1] = ((u0 >> 51) | (u1 << 13)) & M51;
+  h->v[2] = ((u1 >> 38) | (u2 << 26)) & M51;
+  h->v[3] = ((u2 >> 25) | (u3 << 39)) & M51;
+  h->v[4] = (u3 >> 12) & M51;  // drops bit 255 (canonical inputs)
+}
+
+// weak carry: limbs -> < 2^51 + eps
+static inline void fe_carry(fe* h) {
+  u64 c;
+  c = h->v[0] >> 51; h->v[0] &= M51; h->v[1] += c;
+  c = h->v[1] >> 51; h->v[1] &= M51; h->v[2] += c;
+  c = h->v[2] >> 51; h->v[2] &= M51; h->v[3] += c;
+  c = h->v[3] >> 51; h->v[3] &= M51; h->v[4] += c;
+  c = h->v[4] >> 51; h->v[4] &= M51; h->v[0] += 19 * c;
+  c = h->v[0] >> 51; h->v[0] &= M51; h->v[1] += c;
+}
+
+static void fe_tobytes(u8 s[32], const fe* f) {
+  fe t = *f;
+  fe_carry(&t);
+  fe_carry(&t);
+  // compute q = floor(t / p) in {0,1}
+  u64 q = (t.v[0] + 19) >> 51;
+  q = (t.v[1] + q) >> 51;
+  q = (t.v[2] + q) >> 51;
+  q = (t.v[3] + q) >> 51;
+  q = (t.v[4] + q) >> 51;
+  t.v[0] += 19 * q;
+  u64 c;
+  c = t.v[0] >> 51; t.v[0] &= M51; t.v[1] += c;
+  c = t.v[1] >> 51; t.v[1] &= M51; t.v[2] += c;
+  c = t.v[2] >> 51; t.v[2] &= M51; t.v[3] += c;
+  c = t.v[3] >> 51; t.v[3] &= M51; t.v[4] += c;
+  t.v[4] &= M51;
+  u64 u0 = t.v[0] | (t.v[1] << 51);
+  u64 u1 = (t.v[1] >> 13) | (t.v[2] << 38);
+  u64 u2 = (t.v[2] >> 26) | (t.v[3] << 25);
+  u64 u3 = (t.v[3] >> 39) | (t.v[4] << 12);
+  memcpy(s, &u0, 8);
+  memcpy(s + 8, &u1, 8);
+  memcpy(s + 16, &u2, 8);
+  memcpy(s + 24, &u3, 8);
+}
+
+static inline void fe_add(fe* h, const fe* a, const fe* b) {
+  for (int i = 0; i < 5; i++) h->v[i] = a->v[i] + b->v[i];
+  fe_carry(h);
+}
+
+// 4p, so subtraction of limbs < 2^52 never underflows
+static const u64 FOURP[5] = {
+    4 * ((1ULL << 51) - 19), 4 * M51, 4 * M51, 4 * M51, 4 * M51};
+
+static inline void fe_sub(fe* h, const fe* a, const fe* b) {
+  for (int i = 0; i < 5; i++) h->v[i] = a->v[i] + FOURP[i] - b->v[i];
+  fe_carry(h);
+}
+
+static inline void fe_neg(fe* h, const fe* a) {
+  for (int i = 0; i < 5; i++) h->v[i] = FOURP[i] - a->v[i];
+  fe_carry(h);
+}
+
+static void fe_mul(fe* h, const fe* f, const fe* g) {
+  u64 f0 = f->v[0], f1 = f->v[1], f2 = f->v[2], f3 = f->v[3], f4 = f->v[4];
+  u64 g0 = g->v[0], g1 = g->v[1], g2 = g->v[2], g3 = g->v[3], g4 = g->v[4];
+  u64 g1_19 = 19 * g1, g2_19 = 19 * g2, g3_19 = 19 * g3, g4_19 = 19 * g4;
+  u128 r0 = (u128)f0 * g0 + (u128)f1 * g4_19 + (u128)f2 * g3_19 +
+            (u128)f3 * g2_19 + (u128)f4 * g1_19;
+  u128 r1 = (u128)f0 * g1 + (u128)f1 * g0 + (u128)f2 * g4_19 +
+            (u128)f3 * g3_19 + (u128)f4 * g2_19;
+  u128 r2 = (u128)f0 * g2 + (u128)f1 * g1 + (u128)f2 * g0 +
+            (u128)f3 * g4_19 + (u128)f4 * g3_19;
+  u128 r3 = (u128)f0 * g3 + (u128)f1 * g2 + (u128)f2 * g1 +
+            (u128)f3 * g0 + (u128)f4 * g4_19;
+  u128 r4 = (u128)f0 * g4 + (u128)f1 * g3 + (u128)f2 * g2 +
+            (u128)f3 * g1 + (u128)f4 * g0;
+  u64 c;
+  u64 h0 = (u64)r0 & M51; c = (u64)(r0 >> 51); r1 += c;
+  u64 h1 = (u64)r1 & M51; c = (u64)(r1 >> 51); r2 += c;
+  u64 h2 = (u64)r2 & M51; c = (u64)(r2 >> 51); r3 += c;
+  u64 h3 = (u64)r3 & M51; c = (u64)(r3 >> 51); r4 += c;
+  u64 h4 = (u64)r4 & M51; c = (u64)(r4 >> 51);
+  h0 += 19 * c;
+  c = h0 >> 51; h0 &= M51; h1 += c;
+  h->v[0] = h0; h->v[1] = h1; h->v[2] = h2; h->v[3] = h3; h->v[4] = h4;
+}
+
+static inline void fe_sq(fe* h, const fe* f) { fe_mul(h, f, f); }
+
+static void fe_sqn(fe* h, const fe* f, int n) {
+  fe t = *f;
+  for (int i = 0; i < n; i++) fe_sq(&t, &t);
+  *h = t;
+}
+
+static void fe_one(fe* h) { h->v[0] = 1; h->v[1] = h->v[2] = h->v[3] = h->v[4] = 0; }
+static void fe_zero(fe* h) { memset(h->v, 0, sizeof(h->v)); }
+
+// z^(2^250-1) shared tail used by both invert and pow22523 (ref10 chain)
+static void fe_pow_2_250_minus_1(fe* out, fe* t0_out, const fe* z) {
+  fe t0, t1, t2, t3;
+  fe_sq(&t0, z);                       // 2
+  fe_sq(&t1, &t0); fe_sq(&t1, &t1);    // 8
+  fe_mul(&t1, z, &t1);                 // 9
+  fe_mul(&t0, &t0, &t1);               // 11
+  fe_sq(&t2, &t0);                     // 22
+  fe_mul(&t1, &t1, &t2);               // 31 = 2^5-1
+  fe_sqn(&t2, &t1, 5);                 // 2^10-2^5
+  fe_mul(&t1, &t2, &t1);               // 2^10-1
+  fe_sqn(&t2, &t1, 10);
+  fe_mul(&t2, &t2, &t1);               // 2^20-1
+  fe_sqn(&t3, &t2, 20);
+  fe_mul(&t2, &t3, &t2);               // 2^40-1
+  fe_sqn(&t2, &t2, 10);
+  fe_mul(&t1, &t2, &t1);               // 2^50-1
+  fe_sqn(&t2, &t1, 50);
+  fe_mul(&t2, &t2, &t1);               // 2^100-1
+  fe_sqn(&t3, &t2, 100);
+  fe_mul(&t2, &t3, &t2);               // 2^200-1
+  fe_sqn(&t2, &t2, 50);
+  fe_mul(out, &t2, &t1);               // 2^250-1
+  *t0_out = t0;                        // z^11, reused by invert
+}
+
+static void fe_invert(fe* out, const fe* z) {
+  fe t, t0;
+  fe_pow_2_250_minus_1(&t, &t0, z);
+  fe_sqn(&t, &t, 5);                   // 2^255-2^5
+  fe_mul(out, &t, &t0);                // 2^255-21 = p-2
+}
+
+static void fe_pow22523(fe* out, const fe* z) {
+  fe t, t0;
+  fe_pow_2_250_minus_1(&t, &t0, z);
+  fe_sqn(&t, &t, 2);                   // 2^252-4
+  fe_mul(out, &t, z);                  // 2^252-3
+}
+
+static int fe_isnegative(const fe* f) {
+  u8 s[32];
+  fe_tobytes(s, f);
+  return s[0] & 1;
+}
+
+static int fe_iszero(const fe* f) {
+  u8 s[32];
+  fe_tobytes(s, f);
+  for (int i = 0; i < 32; i++)
+    if (s[i]) return 0;
+  return 1;
+}
+
+static int fe_eq(const fe* a, const fe* b) {
+  fe d;
+  fe_sub(&d, a, b);
+  return fe_iszero(&d);
+}
+
+static void fe_abs(fe* h, const fe* f) {
+  if (fe_isnegative(f)) fe_neg(h, f);
+  else *h = *f;
+}
+
+// ---------------------------------------------------------------------------
+// curve constants (initialized from canonical little-endian bytes)
+// ---------------------------------------------------------------------------
+
+static fe FE_D, FE_D2, FE_SQRT_M1, FE_SQRT_AD_MINUS_ONE, FE_INVSQRT_A_MINUS_D,
+    FE_ONE_MINUS_D_SQ, FE_D_MINUS_ONE_SQ;
+
+static void hex32(fe* out, const char* hex) {
+  u8 b[32];
+  for (int i = 0; i < 32; i++) {
+    auto nyb = [](char c) -> int {
+      return c <= '9' ? c - '0' : c - 'a' + 10;
+    };
+    b[i] = (u8)((nyb(hex[2 * i]) << 4) | nyb(hex[2 * i + 1]));
+  }
+  fe_frombytes(out, b);
+}
+
+static struct ConstInit {
+  ConstInit() {
+    hex32(&FE_D,
+          "a3785913ca4deb75abd841414d0a700098e879777940c78c73fe6f2bee6c0352");
+    fe_add(&FE_D2, &FE_D, &FE_D);
+    hex32(&FE_SQRT_M1,
+          "b0a00e4a271beec478e42fad0618432fa7d7fb3d99004d2b0bdfc14f8024832b");
+    hex32(&FE_SQRT_AD_MINUS_ONE,
+          "1b2e7b49a0f6977ebd54781b0c8e9daffdd1f531c9fc3c0fac48832bbf316937");
+    hex32(&FE_INVSQRT_A_MINUS_D,
+          "ea405d80aafdc899be72415a17162f9d40d801fe917bc216a2fcafcf05896c78");
+    hex32(&FE_ONE_MINUS_D_SQ,
+          "76c15f94c1097ce20f355ecd38a1812ce4df70beddab9499d7e0b3b2a8729002");
+    hex32(&FE_D_MINUS_ONE_SQ,
+          "204ded44aa5aad3199191eb02c4a9ed2eb4e9b522fd3dc4c41226cf67ab36859");
+  }
+} _const_init;
+
+// sqrt_ratio_m1 (RFC 9496 §4.2): returns was_square; r = sqrt(u/v) variant
+static int fe_sqrt_ratio_m1(fe* r, const fe* u, const fe* v) {
+  fe v3, v7, t, check, u_neg, u_neg_i, r_prime;
+  fe_sq(&v3, v);
+  fe_mul(&v3, &v3, v);           // v^3
+  fe_sq(&v7, &v3);
+  fe_mul(&v7, &v7, v);           // v^7
+  fe_mul(&t, u, &v7);
+  fe_pow22523(&t, &t);           // (u v^7)^((p-5)/8)
+  fe_mul(r, u, &v3);
+  fe_mul(r, r, &t);              // u v^3 (u v^7)^((p-5)/8)
+  fe_sq(&check, r);
+  fe_mul(&check, &check, v);     // v r^2
+  fe_neg(&u_neg, u);
+  fe_mul(&u_neg_i, &u_neg, &FE_SQRT_M1);
+  int correct = fe_eq(&check, u);
+  int flipped = fe_eq(&check, &u_neg);
+  int flipped_i = fe_eq(&check, &u_neg_i);
+  fe_mul(&r_prime, r, &FE_SQRT_M1);
+  if (flipped | flipped_i) *r = r_prime;
+  fe_abs(r, r);
+  return correct | flipped;
+}
+
+// ===========================================================================
+// ge25519: extended coordinates (X:Y:Z:T), a = -1
+// ===========================================================================
+
+struct ge {
+  fe X, Y, Z, T;
+};
+
+static void ge_identity(ge* h) {
+  fe_zero(&h->X);
+  fe_one(&h->Y);
+  fe_one(&h->Z);
+  fe_zero(&h->T);
+}
+
+// add-2008-hwcd-3 (unified)
+static void ge_add(ge* r, const ge* p, const ge* q) {
+  fe A, B, C, D, E, F, G, H, t0, t1;
+  fe_sub(&t0, &p->Y, &p->X);
+  fe_sub(&t1, &q->Y, &q->X);
+  fe_mul(&A, &t0, &t1);
+  fe_add(&t0, &p->Y, &p->X);
+  fe_add(&t1, &q->Y, &q->X);
+  fe_mul(&B, &t0, &t1);
+  fe_mul(&C, &p->T, &FE_D2);
+  fe_mul(&C, &C, &q->T);
+  fe_add(&t0, &p->Z, &p->Z);
+  fe_mul(&D, &t0, &q->Z);
+  fe_sub(&E, &B, &A);
+  fe_sub(&F, &D, &C);
+  fe_add(&G, &D, &C);
+  fe_add(&H, &B, &A);
+  fe_mul(&r->X, &E, &F);
+  fe_mul(&r->Y, &G, &H);
+  fe_mul(&r->Z, &F, &G);
+  fe_mul(&r->T, &E, &H);
+}
+
+// dbl-2008-hwcd, a = -1
+static void ge_double(ge* r, const ge* p) {
+  fe A, B, C, D, E, F, G, H, t0;
+  fe_sq(&A, &p->X);
+  fe_sq(&B, &p->Y);
+  fe_sq(&C, &p->Z);
+  fe_add(&C, &C, &C);
+  fe_neg(&D, &A);
+  fe_add(&t0, &p->X, &p->Y);
+  fe_sq(&t0, &t0);
+  fe_sub(&t0, &t0, &A);
+  fe_sub(&E, &t0, &B);
+  fe_add(&G, &D, &B);
+  fe_sub(&F, &G, &C);
+  fe_sub(&H, &D, &B);
+  fe_mul(&r->X, &E, &F);
+  fe_mul(&r->Y, &G, &H);
+  fe_mul(&r->Z, &F, &G);
+  fe_mul(&r->T, &E, &H);
+}
+
+static void ge_neg(ge* r, const ge* p) {
+  fe_neg(&r->X, &p->X);
+  r->Y = p->Y;
+  r->Z = p->Z;
+  fe_neg(&r->T, &p->T);
+}
+
+// blob <-> ge  (blob = X|Y|Z|T, 32 canonical bytes each)
+static void ge_fromblob(ge* h, const u8* blob) {
+  fe_frombytes(&h->X, blob);
+  fe_frombytes(&h->Y, blob + 32);
+  fe_frombytes(&h->Z, blob + 64);
+  fe_frombytes(&h->T, blob + 96);
+}
+
+static void ge_toblob(u8* blob, const ge* p) {
+  fe_tobytes(blob, &p->X);
+  fe_tobytes(blob + 32, &p->Y);
+  fe_tobytes(blob + 64, &p->Z);
+  fe_tobytes(blob + 96, &p->T);
+}
+
+extern "C" void spartan_ge_add(const u8* a, const u8* b, u8* out) {
+  ge p, q, r;
+  ge_fromblob(&p, a);
+  ge_fromblob(&q, b);
+  ge_add(&r, &p, &q);
+  ge_toblob(out, &r);
+}
+
+extern "C" void spartan_ge_double(const u8* a, u8* out) {
+  ge p, r;
+  ge_fromblob(&p, a);
+  ge_double(&r, &p);
+  ge_toblob(out, &r);
+}
+
+extern "C" void spartan_ge_neg(const u8* a, u8* out) {
+  ge p, r;
+  ge_fromblob(&p, a);
+  ge_neg(&r, &p);
+  ge_toblob(out, &r);
+}
+
+// vartime scalar mul: 4-bit fixed window
+static void ge_scalarmul(ge* r, const ge* p, const u8 sc[32]) {
+  ge table[16];
+  ge_identity(&table[0]);
+  table[1] = *p;
+  for (int i = 2; i < 16; i += 2) {
+    ge_double(&table[i], &table[i / 2]);
+    ge_add(&table[i + 1], &table[i], p);
+  }
+  ge acc;
+  ge_identity(&acc);
+  int started = 0;
+  for (int i = 31; i >= 0; i--) {
+    for (int half = 1; half >= 0; half--) {
+      int nib = half ? (sc[i] >> 4) : (sc[i] & 0xF);
+      if (started) {
+        ge_double(&acc, &acc);
+        ge_double(&acc, &acc);
+        ge_double(&acc, &acc);
+        ge_double(&acc, &acc);
+      }
+      if (nib) {
+        if (started) ge_add(&acc, &acc, &table[nib]);
+        else { acc = table[nib]; started = 1; }
+      } else if (!started) {
+        continue;
+      }
+    }
+  }
+  if (!started) ge_identity(&acc);
+  *r = acc;
+}
+
+extern "C" void spartan_ge_scalarmul(const u8* pt, const u8* sc, u8* out) {
+  ge p, r;
+  ge_fromblob(&p, pt);
+  ge_scalarmul(&r, &p, sc);
+  ge_toblob(out, &r);
+}
+
+// vartime Pippenger MSM: pts = n*128 bytes, scalars = n*32 bytes
+extern "C" void spartan_ge_msm(const u8* pts, const u8* scalars, size_t n,
+                               u8* out) {
+  ge r;
+  ge_identity(&r);
+  if (n == 0) { ge_toblob(out, &r); return; }
+  std::vector<ge> P(n);
+  for (size_t i = 0; i < n; i++) ge_fromblob(&P[i], pts + 128 * i);
+
+  int c;  // window bits
+  if (n < 8) c = 2;
+  else if (n < 32) c = 4;
+  else if (n < 256) c = 6;
+  else if (n < 4096) c = 8;
+  else c = 11;
+  int windows = (256 + c - 1) / c;
+  size_t nbuckets = ((size_t)1 << c) - 1;
+  std::vector<ge> buckets(nbuckets);
+  std::vector<u8> used(nbuckets);
+
+  for (int w = windows - 1; w >= 0; w--) {
+    for (int k = 0; k < c; k++) ge_double(&r, &r);
+    memset(used.data(), 0, nbuckets);
+    int bit0 = w * c;
+    for (size_t i = 0; i < n; i++) {
+      // extract c bits starting at bit0 from scalar i
+      int byte = bit0 >> 3, shift = bit0 & 7;
+      u64 word = 0;
+      for (int b = 0; b < 4 && byte + b < 32; b++)
+        word |= (u64)scalars[32 * i + byte + b] << (8 * b);
+      u64 dig = (word >> shift) & (((u64)1 << c) - 1);
+      if (!dig) continue;
+      if (used[dig - 1]) ge_add(&buckets[dig - 1], &buckets[dig - 1], &P[i]);
+      else { buckets[dig - 1] = P[i]; used[dig - 1] = 1; }
+    }
+    // suffix-sum buckets: sum_d d*B_d
+    ge running, total;
+    int have_run = 0, have_tot = 0;
+    for (size_t d = nbuckets; d-- > 0;) {
+      if (used[d]) {
+        if (have_run) ge_add(&running, &running, &buckets[d]);
+        else { running = buckets[d]; have_run = 1; }
+      }
+      if (have_run) {
+        if (have_tot) ge_add(&total, &total, &running);
+        else { total = running; have_tot = 1; }
+      }
+    }
+    if (have_tot) ge_add(&r, &r, &total);
+  }
+  ge_toblob(out, &r);
+}
+
+// ===========================================================================
+// ristretto255 codec (RFC 9496)
+// ===========================================================================
+
+extern "C" int spartan_ristretto_decode(const u8 in[32], u8* out_blob) {
+  // canonical check: s < p and nonnegative
+  fe s;
+  fe_frombytes(&s, in);
+  u8 chk[32];
+  fe_tobytes(chk, &s);
+  if (memcmp(chk, in, 32) != 0) return -1;  // non-canonical (incl. bit 255)
+  if (in[0] & 1) return -1;                 // negative
+
+  fe ss, u1, u2, u2_sqr, v, one, invsqrt, den_x, den_y, x, y, t;
+  fe_one(&one);
+  fe_sq(&ss, &s);
+  fe_sub(&u1, &one, &ss);
+  fe_add(&u2, &one, &ss);
+  fe_sq(&u2_sqr, &u2);
+  // v = -(D*u1^2) - u2^2
+  fe t0;
+  fe_sq(&t0, &u1);
+  fe_mul(&t0, &t0, &FE_D);
+  fe_neg(&v, &t0);
+  fe_sub(&v, &v, &u2_sqr);
+  fe vu2;
+  fe_mul(&vu2, &v, &u2_sqr);
+  int was_square = fe_sqrt_ratio_m1(&invsqrt, &one, &vu2);
+  fe_mul(&den_x, &invsqrt, &u2);
+  fe_mul(&den_y, &invsqrt, &den_x);
+  fe_mul(&den_y, &den_y, &v);
+  fe_add(&t0, &s, &s);
+  fe_mul(&x, &t0, &den_x);
+  fe_abs(&x, &x);
+  fe_mul(&y, &u1, &den_y);
+  fe_mul(&t, &x, &y);
+  if (!was_square || fe_isnegative(&t) || fe_iszero(&y)) return -1;
+  ge p;
+  p.X = x; p.Y = y; fe_one(&p.Z); p.T = t;
+  ge_toblob(out_blob, &p);
+  return 0;
+}
+
+extern "C" void spartan_ristretto_encode(const u8* blob, u8 out[32]) {
+  ge p;
+  ge_fromblob(&p, blob);
+  fe u1, u2, t0, one, invsqrt, den1, den2, z_inv, ix0, iy0, ench, x, y, den_inv, s;
+  fe_one(&one);
+  fe_add(&t0, &p.Z, &p.Y);
+  fe_sub(&u1, &p.Z, &p.Y);
+  fe_mul(&u1, &t0, &u1);              // (Z+Y)(Z-Y)
+  fe_mul(&u2, &p.X, &p.Y);
+  fe_sq(&t0, &u2);
+  fe_mul(&t0, &t0, &u1);              // u1 * u2^2
+  fe_sqrt_ratio_m1(&invsqrt, &one, &t0);
+  fe_mul(&den1, &invsqrt, &u1);
+  fe_mul(&den2, &invsqrt, &u2);
+  fe_mul(&z_inv, &den1, &den2);
+  fe_mul(&z_inv, &z_inv, &p.T);
+  fe_mul(&ix0, &p.X, &FE_SQRT_M1);
+  fe_mul(&iy0, &p.Y, &FE_SQRT_M1);
+  fe_mul(&ench, &den1, &FE_INVSQRT_A_MINUS_D);
+  fe_mul(&t0, &p.T, &z_inv);
+  if (fe_isnegative(&t0)) {
+    x = iy0; y = ix0; den_inv = ench;
+  } else {
+    x = p.X; y = p.Y; den_inv = den2;
+  }
+  fe_mul(&t0, &x, &z_inv);
+  if (fe_isnegative(&t0)) fe_neg(&y, &y);
+  fe_sub(&t0, &p.Z, &y);
+  fe_mul(&s, &den_inv, &t0);
+  fe_abs(&s, &s);
+  fe_tobytes(out, &s);
+}
+
+// batch encode: n blobs -> n*32 bytes
+extern "C" void spartan_ristretto_encode_batch(const u8* blobs, size_t n,
+                                               u8* out) {
+  for (size_t i = 0; i < n; i++)
+    spartan_ristretto_encode(blobs + 128 * i, out + 32 * i);
+}
+
+// elligator one-way map: 64 uniform bytes -> point blob (RFC 9496 §4.3.4)
+static void elligator(ge* out, const fe* t) {
+  fe r, u, v, s, s_prime, c, N, w0, w1, w2, w3, one, t0, t1;
+  fe_one(&one);
+  fe_sq(&r, t);
+  fe_mul(&r, &r, &FE_SQRT_M1);        // r = sqrt(-1) t^2
+  fe_add(&t0, &r, &one);
+  fe_mul(&u, &t0, &FE_ONE_MINUS_D_SQ);
+  // v = (-1 - r*D) * (r + D)
+  fe_mul(&t0, &r, &FE_D);
+  fe_add(&t0, &t0, &one);
+  fe_neg(&t0, &t0);
+  fe_add(&t1, &r, &FE_D);
+  fe_mul(&v, &t0, &t1);
+  int was_square = fe_sqrt_ratio_m1(&s, &u, &v);
+  fe_mul(&s_prime, &s, t);
+  fe_abs(&s_prime, &s_prime);
+  fe_neg(&s_prime, &s_prime);
+  if (!was_square) { s = s_prime; c = r; }
+  else { fe_neg(&c, &one); }
+  // N = c (r-1) D_MINUS_ONE_SQ - v
+  fe_sub(&t0, &r, &one);
+  fe_mul(&t0, &c, &t0);
+  fe_mul(&t0, &t0, &FE_D_MINUS_ONE_SQ);
+  fe_sub(&N, &t0, &v);
+  fe_add(&t0, &s, &s);
+  fe_mul(&w0, &t0, &v);
+  fe_mul(&w1, &N, &FE_SQRT_AD_MINUS_ONE);
+  fe_sq(&t0, &s);
+  fe_sub(&w2, &one, &t0);
+  fe_add(&w3, &one, &t0);
+  fe_mul(&out->X, &w0, &w3);
+  fe_mul(&out->Y, &w2, &w1);
+  fe_mul(&out->Z, &w1, &w3);
+  fe_mul(&out->T, &w0, &w2);
+}
+
+extern "C" void spartan_ristretto_from_uniform(const u8 in[64], u8* out_blob) {
+  u8 half[32];
+  fe t0, t1;
+  memcpy(half, in, 32);
+  half[31] &= 0x7F;
+  fe_frombytes(&t0, half);
+  memcpy(half, in + 32, 32);
+  half[31] &= 0x7F;
+  fe_frombytes(&t1, half);
+  ge p0, p1, r;
+  elligator(&p0, &t0);
+  elligator(&p1, &t1);
+  ge_add(&r, &p0, &p1);
+  ge_toblob(out_blob, &r);
+}

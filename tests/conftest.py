@@ -11,6 +11,13 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent XLA compilation cache: field/curve kernels are compile-heavy.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# Persistent XLA compilation cache: the field/curve kernels are
+# compile-heavy and this box has ONE cpu core — warm-cache reruns are
+# the difference between minutes and seconds.  jax.config.update is
+# used (not env vars) because env vars are only read at jax import and
+# the experimental axon plugin can import jax before pytest does.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
