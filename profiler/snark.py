@@ -1,0 +1,63 @@
+"""SNARK profiler (reference profiler/snark.rs:17-62): sweeps instance
+sizes, prints hierarchical phase timings (SPARTAN_TPU_PROFILE=1 is
+forced on) and zlib-compressed proof sizes.
+
+Usage: python profiler/snark.py [--min 10] [--max 20] [--inputs 10]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ["SPARTAN_TPU_PROFILE"] = "1"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min", type=int, default=10)
+    ap.add_argument("--max", type=int, default=20)
+    ap.add_argument("--inputs", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    from spartan_tpu import serialize as ser
+    from spartan_tpu.api import SNARK, SNARKGens, Instance
+    from spartan_tpu.core.merlin import Transcript
+    from spartan_tpu.utils.timer import Timer
+
+    print(f"backend: {jax.devices()[0].platform} "
+          f"({len(jax.devices())} device(s)); "
+          f"native host crypto: {__import__('spartan_tpu.native', fromlist=['available']).available()}")
+
+    for s in range(args.min, args.max + 1):
+        n = 1 << s
+        print(f"\n{'=' * 60}\nprofiler:: SNARK 2^{s} "
+              f"(cons={n}, vars={n}, inputs={args.inputs})\n{'=' * 60}")
+        t = Timer("produce_synthetic_r1cs")
+        inst, vars_a, inputs_a = Instance.produce_synthetic_r1cs(
+            n, n, args.inputs, seed=args.seed)
+        t.stop()
+
+        t = Timer("SNARKGens")
+        gens = SNARKGens(n, n, args.inputs, n)
+        t.stop()
+
+        comm, decomm = SNARK.encode(inst, gens)
+
+        proof = SNARK.prove(inst, comm, decomm, vars_a, inputs_a, gens,
+                            Transcript(b"snark_example"))
+
+        blob = ser.snark_to_bytes(proof)
+        print(f"proof size: {len(blob)} bytes "
+              f"({ser.compressed_size(blob)} compressed)")
+
+        proof.verify(comm, inputs_a, Transcript(b"snark_example"), gens)
+        print("proof verification successful")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,30 @@ def _to_int(x: jnp.ndarray) -> int:
     return fq.decode_to_ints(x[None])[0]
 
 
+def _to_ints_stacked(xs) -> list[int]:
+    """Decode several () scalars with ONE device->host transfer."""
+    return fq.decode_to_ints(jnp.stack(list(xs), axis=0))
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=2)
+def _fold_then_evals(tables, r_m, which: str):
+    """Fused round step: bind the top variable of every table to the
+    previous challenge, then evaluate the next round polynomial — one
+    dispatch, one pass over HBM (the fold output feeds the eval reads
+    inside the same XLA program).  `which` picks the comb."""
+    folded = [dense.bound_var_top(T, r_m) for T in tables]
+    if which == "quad":
+        es = _evals_quad(*folded)
+    elif which == "cubic":
+        es = _evals_cubic_additive(*folded)
+    else:
+        es = _evals_cubic_prod(*folded)
+    return folded, jnp.stack(list(es), axis=0)
+
+
 def _r_mont(r: int) -> jnp.ndarray:
     return fq.to_mont(jnp.asarray(fq.encode_ints([r])))
 
@@ -126,23 +150,26 @@ class SumcheckInstanceProof:
                     ) -> tuple["SumcheckInstanceProof", list[int], list[int]]:
         """prove_cubic with comb = A*B*C (sumcheck.rs:183-252); ``polys``
         = [A, B, C] device tables, consumed."""
-        A, B, C = polys
+        tables = list(polys)
         e = claim % Q
         r = []
         compressed = []
-        for _ in range(num_rounds):
-            e0, e2, e3 = (_to_int(x) for x in _evals_cubic_prod(A, B, C))
+        es_dev = jnp.stack(list(_evals_cubic_prod(*tables)), axis=0)
+        for j in range(num_rounds):
+            e0, e2, e3 = fq.decode_to_ints(es_dev)
             poly = UniPoly.from_evals([e0, (e - e0) % Q, e2, e3])
             poly.append_to_transcript(b"poly", transcript)
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             r.append(r_j)
             rm = _r_mont(r_j)
-            A = dense.bound_var_top(A, rm)
-            B = dense.bound_var_top(B, rm)
-            C = dense.bound_var_top(C, rm)
+            if j + 1 < num_rounds:
+                tables, es_dev = _fold_then_evals(tables, rm, "cubic_prod")
+            else:
+                tables = [dense.bound_var_top(T, rm) for T in tables]
             e = poly.evaluate(r_j)
             compressed.append(poly.compress())
-        claims = [_to_int(A[0]), _to_int(B[0]), _to_int(C[0])]
+        claims = fq.decode_to_ints(
+            jnp.stack([T[0] for T in tables], axis=0))
         return SumcheckInstanceProof(compressed), r, claims
 
 
@@ -192,9 +219,14 @@ class ZKSumcheckInstanceProof:
     def _prove_rounds(claim: int, blind_claim: int, num_rounds: int,
                       tables: list[jnp.ndarray], evals_fn, degree: int,
                       gens_1: MultiCommitGens, gens_n: MultiCommitGens,
-                      transcript: Transcript, tape: RandomTape):
+                      transcript: Transcript, tape: RandomTape,
+                      which: str | None = None):
         """Shared round loop for prove_quad / prove_cubic_with_additive_term
-        (identical structure, sumcheck.rs:428-586 vs 588-776)."""
+        (identical structure, sumcheck.rs:428-586 vs 588-776).
+
+        Round cadence: the fused fold+next-evals kernel is dispatched
+        (async) as soon as the challenge is known, so the device folds
+        round j+1's tables while the host runs round j's sigma proof."""
         blinds_poly = tape.random_vector(b"blinds_poly", num_rounds)
         blinds_evals = tape.random_vector(b"blinds_evals", num_rounds)
         claim_per_round = claim % Q
@@ -206,8 +238,9 @@ class ZKSumcheckInstanceProof:
         comm_evals: list[bytes] = []
         proofs: list[DotProductProof] = []
 
+        es_dev = jnp.stack(list(evals_fn(*tables)), axis=0)
         for j in range(num_rounds):
-            es = [_to_int(x) for x in evals_fn(*tables)]
+            es = fq.decode_to_ints(es_dev)
             e0 = es[0]
             evals = [e0, (claim_per_round - e0) % Q] + es[1:]
             poly = UniPoly.from_evals(evals)
@@ -218,7 +251,10 @@ class ZKSumcheckInstanceProof:
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             rm = _r_mont(r_j)
-            tables = [dense.bound_var_top(T, rm) for T in tables]
+            if which is not None and j + 1 < num_rounds:
+                tables, es_dev = _fold_then_evals(tables, rm, which)
+            else:
+                tables = [dense.bound_var_top(T, rm) for T in tables]
 
             eval_r = poly.evaluate(r_j)
             comm_eval = hri.encode(
@@ -248,7 +284,8 @@ class ZKSumcheckInstanceProof:
             r.append(r_j)
             comm_evals.append(comm_eval)
 
-        final_claims = [_to_int(T[0]) for T in tables]
+        final_claims = fq.decode_to_ints(
+            jnp.stack([T[0] for T in tables], axis=0))
         return (
             ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs),
             r,
@@ -263,7 +300,7 @@ class ZKSumcheckInstanceProof:
                    transcript: Transcript, tape: RandomTape):
         return ZKSumcheckInstanceProof._prove_rounds(
             claim, blind_claim, num_rounds, [poly_A, poly_B],
-            _evals_quad, 2, gens_1, gens_n, transcript, tape)
+            _evals_quad, 2, gens_1, gens_n, transcript, tape, which="quad")
 
     @staticmethod
     def prove_cubic_with_additive_term(
@@ -273,4 +310,5 @@ class ZKSumcheckInstanceProof:
             transcript: Transcript, tape: RandomTape):
         return ZKSumcheckInstanceProof._prove_rounds(
             claim, blind_claim, num_rounds, [poly_A, poly_B, poly_C, poly_D],
-            _evals_cubic_additive, 3, gens_1, gens_n, transcript, tape)
+            _evals_cubic_additive, 3, gens_1, gens_n, transcript, tape,
+            which="cubic")
