@@ -8,8 +8,11 @@ R1CS (4 constraints, 4 vars, 1 input):
   (Z3 + 5) * 1 - I0 = 0
 """
 
+import os
 import random
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 from spartan_tpu.api import Assignment, Instance, NIZK, NIZKGens
 from spartan_tpu.core.field import Q

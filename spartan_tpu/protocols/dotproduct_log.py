@@ -39,6 +39,13 @@ class DotProductProofLog:
               ) -> tuple["DotProductProofLog", bytes, bytes]:
         """x_dev / a_dev: (n,16) Montgomery device tables; a_ints: the
         same public vector as ints (for the transcript append)."""
+        from .sumcheck import _use_device_prover
+
+        if _use_device_prover() and x_dev.shape[0] >= 2:
+            from .device_prover import dotproduct_log_device
+
+            return dotproduct_log_device(
+                gens, transcript, tape, x_dev, blind_x, a_dev, y, blind_y)
         transcript.append_protocol_name(DotProductProofLog.PROTOCOL)
         n = x_dev.shape[0]
         assert gens.n == n

@@ -105,6 +105,12 @@ class ProductCircuitEvalProofBatched:
     def prove(prod: ProductCircuitBatch,
               dotp: DotProductCircuitBatch | None,
               transcript: Transcript):
+        from .sumcheck import _use_device_prover
+
+        if _use_device_prover():
+            from .device_prover import prove_product_layers_device
+
+            return prove_product_layers_device(prod, dotp, transcript)
         num_prod = prod.left[0].shape[0]
         claims_to_verify = prod.evaluate()
         claims_dotp_final = ([], [], [])

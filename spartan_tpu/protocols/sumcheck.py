@@ -32,6 +32,20 @@ from ..utils.errors import ProofVerifyError
 from .sigma import DotProductProof
 
 
+def _use_device_prover() -> bool:
+    """Device-resident round loops (zero host round-trips per round):
+    on by default on accelerator backends where the host<->device
+    round-trip dominates; SPARTAN_TPU_DEVICE_PROVER=0/1 overrides."""
+    import os
+
+    v = os.environ.get("SPARTAN_TPU_DEVICE_PROVER", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def _to_int(x: jnp.ndarray) -> int:
     return fq.decode_to_ints(x[None])[0]
 
@@ -298,6 +312,12 @@ class ZKSumcheckInstanceProof:
                    poly_A: jnp.ndarray, poly_B: jnp.ndarray,
                    gens_1: MultiCommitGens, gens_n: MultiCommitGens,
                    transcript: Transcript, tape: RandomTape):
+        if _use_device_prover():
+            from .device_prover import zk_sumcheck_phase_device
+
+            return zk_sumcheck_phase_device(
+                claim, blind_claim, num_rounds, [poly_A, poly_B],
+                "quad", gens_1, gens_n, transcript, tape)
         return ZKSumcheckInstanceProof._prove_rounds(
             claim, blind_claim, num_rounds, [poly_A, poly_B],
             _evals_quad, 2, gens_1, gens_n, transcript, tape, which="quad")
@@ -308,6 +328,13 @@ class ZKSumcheckInstanceProof:
             poly_A, poly_B, poly_C, poly_D,
             gens_1: MultiCommitGens, gens_n: MultiCommitGens,
             transcript: Transcript, tape: RandomTape):
+        if _use_device_prover():
+            from .device_prover import zk_sumcheck_phase_device
+
+            return zk_sumcheck_phase_device(
+                claim, blind_claim, num_rounds,
+                [poly_A, poly_B, poly_C, poly_D],
+                "cubic", gens_1, gens_n, transcript, tape)
         return ZKSumcheckInstanceProof._prove_rounds(
             claim, blind_claim, num_rounds, [poly_A, poly_B, poly_C, poly_D],
             _evals_cubic_additive, 3, gens_1, gens_n, transcript, tape,
