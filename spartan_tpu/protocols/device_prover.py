@@ -121,10 +121,15 @@ def _segment_msm(bases: PointArray, scalars_mont: jnp.ndarray,
 # cubic / quad round evaluations (same comb split as sumcheck.py)
 # ---------------------------------------------------------------------------
 
-def _evals(tables: list, which: str):
-    n = tables[0].shape[0] // 2
-    lo = [T[:n] for T in tables]
-    hi = [T[n:] for T in tables]
+def _evals_live(tables: list, which: str, half):
+    """Round evals over the live prefix of padded tables: pairs
+    (T[i], T[i+half]) for i < half; half is a traced int32 so ONE
+    compiled function serves every round of a phase."""
+    N = tables[0].shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    mask = (idx < half)[:, None].astype(jnp.uint32)
+    lo = [T * mask for T in tables]
+    hi = [jnp.take(T, (idx + half) % N, axis=0) * mask for T in tables]
 
     if which == "cubic":
         def comb(a, b, c, d):
@@ -135,6 +140,7 @@ def _evals(tables: list, which: str):
 
     e0 = fq.sum_mod(comb(*lo))
     p2 = [fq.sub(fq.add(h, h), l) for h, l in zip(hi, lo)]
+    # p2/p3 of masked-out rows are 0 (both operands 0), so sums stay clean
     e2 = fq.sum_mod(comb(*p2))
     if which != "cubic":
         return [e0, e2]
@@ -143,12 +149,17 @@ def _evals(tables: list, which: str):
     return [e0, e2, e3]
 
 
-def _fold(tables: list, r: jnp.ndarray) -> list:
+def _fold_live(tables: list, r: jnp.ndarray, half):
+    """Fold the live prefix in place: new[i] = T[i] + r*(T[i+half]-T[i])
+    for i < half, zero elsewhere; array shape unchanged."""
+    N = tables[0].shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    mask = (idx < half)[:, None].astype(jnp.uint32)
     out = []
     for T in tables:
-        n = T.shape[0] // 2
-        lo, hi = T[:n], T[n:]
-        out.append(fq.add(lo, fq.mul(r, fq.sub(hi, lo))))
+        lo = T
+        hi = jnp.take(T, (idx + half) % N, axis=0)
+        out.append(fq.add(lo, fq.mul(r, fq.sub(hi, lo))) * mask)
     return out
 
 
@@ -159,34 +170,27 @@ def _fold(tables: list, r: jnp.ndarray) -> list:
 _round_cache: dict = {}
 
 
-def _zk_round(key, meta_in):
-    """Build (or fetch) the traced round function for this shape/meta.
-
-    key = (n, ntab, which, deg).  Returns (jitted_fn, out_meta_cell).
-    The jitted fn signature:
-      (state, tables, claim, comm_claim32, blind_claim_or_preveval,
-       blinds_j = (blind_poly, blind_eval), dp = (d_vec, r_delta, r_beta),
-       bases, a_sc_const)
-      -> (state, folded_tables, eval_r, comm_eval32, pieces...)
-    """
-    cache_key = (key, meta_in)
+def _zk_round_padded(key, meta_in):
+    """Shape-stable round function: tables stay at their phase-entry
+    size with a traced live length, so ALL rounds whose transcript meta
+    matches share one compiled executable (the meta is constant from
+    round 2 on, since every challenge squeeze flushes the sponge to a
+    deterministic position)."""
+    cache_key = ("padded", key, meta_in)
     if cache_key in _round_cache:
         return _round_cache[cache_key]
 
-    n, ntab, which, deg = key
+    N, ntab, which, deg = key
     out_meta = {}
 
     @jax.jit
-    def fn(state, tables, claim, comm_claim32, blind_sc, blind_poly,
+    def fn(state, tables, half, claim, comm_claim32, blind_sc, blind_poly,
            blind_eval, d_vec, r_delta, r_beta, bases, a_sc):
         t = DeviceTranscript.unpack(state, meta_in)
 
-        es = _evals(list(tables), which)
-        coeffs = unipoly_from_evals(es, claim)  # (deg+1, 16)
+        es = _evals_live(list(tables), which, half)
+        coeffs = unipoly_from_evals(es, claim)
 
-        # comm_poly = <coeffs, Gn> + blind_poly*h ; delta = <d_vec, Gn> + r_delta*h
-        # Cy/beta/comm_eval need challenges, so first commit the two
-        # vector commitments that do not:
         seg1 = jnp.concatenate([
             coeffs, blind_poly[None], d_vec, r_delta[None]], axis=0)
         gn_h = PointArray(*(jnp.concatenate([c[: deg + 2], c[: deg + 2]])
@@ -197,11 +201,9 @@ def _zk_round(key, meta_in):
         t.append_point(b"comm_poly", comm_poly32)
 
         r_j = t.challenge_scalar(b"challenge_nextround")
-        folded = _fold(list(tables), r_j)
+        folded = _fold_live(list(tables), r_j, half)
         eval_r = unipoly_evaluate(coeffs, r_j)
 
-        # comm_eval = eval_r*g1 + blind_eval*h1  (gens_1 has its OWN
-        # blinding generator, distinct from gens_n.h)
         g1_h = PointArray(*(jnp.stack([c[deg + 2], c[deg + 3]])
                             for c in bases))
         comm_eval_pt = _msm_small(g1_h, jnp.stack([eval_r, blind_eval]))
@@ -215,14 +217,12 @@ def _zk_round(key, meta_in):
         target = fq.add(fq.mul(w0, claim), fq.mul(w1, eval_r))
         blind = fq.add(fq.mul(w0, blind_sc), fq.mul(w1, blind_eval))
 
-        # a = w0*a_sc + w1*[1, r, r^2, ...]
         pows = [_mont_const(1)]
         for _ in range(deg):
             pows.append(fq.mul(pows[-1], r_j))
         a_eval = jnp.stack(pows)
         a = fq.add(fq.mul(a_sc, w0[None]), fq.mul(a_eval, w1[None]))
 
-        # DotProductProof.prove (nizk/mod.rs:292-405); Cx == comm_poly
         t.append_protocol_name(b"dot product proof")
         t.append_point(b"Cx", comm_poly32)
         cy_pt = _msm_small(g1_h, jnp.stack([target, blind]))
@@ -237,14 +237,14 @@ def _zk_round(key, meta_in):
         t.append_point(b"beta", beta32)
         c = t.challenge_scalar(b"c")
 
-        z = fq.add(fq.mul(coeffs, c[None]), d_vec)  # (deg+1, 16)
+        z = fq.add(fq.mul(coeffs, c[None]), d_vec)
         z_delta = fq.add(fq.mul(c, blind_poly), r_delta)
         z_beta = fq.add(fq.mul(c, blind), r_beta)
 
         out_meta["meta"] = (t.pos, t.pos_begin, t.cur_flags)
         pieces = (comm_poly32, comm_eval32, delta32, beta32,
                   z, z_delta, z_beta, r_j)
-        return t.state, tuple(folded), eval_r, comm_eval32, blind_eval, pieces
+        return t.state, tuple(folded), eval_r, comm_eval32, pieces
 
     _round_cache[cache_key] = (fn, out_meta)
     return fn, out_meta
@@ -316,7 +316,6 @@ def zk_sumcheck_phase_device(
     def mv(xs):
         return fq.to_mont(jnp.asarray(limb.ints_to_limbs([x % Q for x in xs])))
 
-    bases_host = list(gens_n.G) + [gens_n.h, gens_1.G[0]]
     bases = _dev_bases(gens_n, gens_1, deg)
     a_sc = mv([2] + [1] * deg)
 
@@ -335,14 +334,18 @@ def zk_sumcheck_phase_device(
 
     pieces_all = []
     tabs = tuple(tables)
+    N = tabs[0].shape[0]
+    key = (N, ntab, which, deg)
+    live = N
     for j in range(num_rounds):
-        key = (tabs[0].shape[0], ntab, which, deg)
-        fn, out_meta = _zk_round(key, meta)
-        (state, tabs, eval_r, comm_eval32, _be, pieces) = fn(
-            state, tabs, claim_d, comm_claim32, blind_sc_d,
+        fn, out_meta = _zk_round_padded(key, meta)
+        half = jnp.int32(live // 2)
+        (state, tabs, eval_r, comm_eval32, pieces) = fn(
+            state, tabs, half, claim_d, comm_claim32, blind_sc_d,
             blinds_poly_d[j], blinds_evals_d[j], dvecs[j], rdeltas[j],
             rbetas[j], bases, a_sc)
         meta = out_meta["meta"]
+        live //= 2
         claim_d = eval_r
         comm_claim32 = comm_eval32
         blind_sc_d = blinds_evals_d[j]
