@@ -1,29 +1,67 @@
 """Driver benchmark: prints ONE JSON line.
 
-Headline metric: MSM throughput (points/s/chip) on the device JAX
-backend — the kernel every Spartan commitment reduces to.  Baseline:
-the reference's witness polycommit at 2^20 takes 2.7176 s on one CPU
-core (BASELINE.md), i.e. 385,875 points/s.
+Headline metric: NIZK::prove wall-time on a 2^20-constraint synthetic
+R1CS instance (cons=vars=2^20, 10 inputs) on one chip — the same
+configuration as the reference's README "Performance" run, where
+NIZK::prove takes 4.5140 s on one i7-1065G7 core (BASELINE.md).
+vs_baseline = baseline_seconds / our_seconds (>1 means faster).
 
-Usage: python bench.py [--n LOG2N] [--c WINDOW]
+The first prove is a warmup (XLA compiles hit /tmp/jax_cache; the
+profiler runs committed in PERF.md pre-warm the cache for these exact
+shapes), then --reps timed proves.
+
+Usage: python bench.py [--n LOG2N] [--reps N] [--msm]
+       --msm reports the round-1 MSM microbench instead.
 """
 
 import argparse
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+BASELINE_NIZK_PROVE_S = 4.5140   # README.md:413, 2^20, 1 CPU core
+BASELINE_POLYCOMMIT_S = 2.7176   # README.md:353-354
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=14, help="log2 #points")
-    ap.add_argument("--c", type=int, default=8, help="Pippenger window bits")
-    ap.add_argument("--reps", type=int, default=3)
-    args = ap.parse_args()
 
+def bench_nizk_prove(args):
+    import jax
+
+    from spartan_tpu import serialize as ser
+    from spartan_tpu.api import NIZK, NIZKGens, Instance
+    from spartan_tpu.core.merlin import Transcript
+
+    n = 1 << args.n
+    inst, vars_a, inputs_a = Instance.produce_synthetic_r1cs(
+        n, n, 10, seed=0)
+    gens = NIZKGens(n, n, 10)
+
+    # warmup (compiles; served from the persistent cache when warm)
+    NIZK.prove(inst, vars_a, inputs_a, gens, Transcript(b"bench"))
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        proof = NIZK.prove(inst, vars_a, inputs_a, gens, Transcript(b"bench"))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    # sanity: the proof must verify
+    proof.verify(inst, inputs_a, Transcript(b"bench"), gens)
+
+    scale = (1 << 20) / n  # linear-work rescale when --n != 20
+    baseline = BASELINE_NIZK_PROVE_S / scale
+    print(json.dumps({
+        "metric": "nizk_prove_s",
+        "value": round(best, 4),
+        "unit": f"s (2^{args.n} cons/vars, 10 inputs, 1 chip, "
+                f"backend={jax.default_backend()})",
+        "vs_baseline": round(baseline / best, 3),
+    }))
+
+
+def bench_msm(args):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -35,9 +73,6 @@ def main():
 
     n = 1 << args.n
     rng = np.random.default_rng(0)
-
-    # random points: one base point, randomized via cheap device doublings
-    # of distinct scalar multiples (avoids slow host generation)
     base = hri.decode(hri.BASEPOINT_BYTES)
     seed_scalars = jnp.asarray(
         limb.ints_to_limbs([int(x) | 1 for x in rng.integers(1, 1 << 63, size=n)])
@@ -52,8 +87,6 @@ def main():
             [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
         )
     )
-
-    # warmup/compile
     out = msm_mod.msm(scalars, pts, c=args.c)
     jax.block_until_ready(out.x)
 
@@ -63,16 +96,32 @@ def main():
         out = msm_mod.msm(scalars, pts, c=args.c)
         jax.block_until_ready(out.x)
         times.append(time.perf_counter() - t0)
-
     best = min(times)
     pps = n / best
-    baseline_pps = (1 << 20) / 2.7176  # reference polycommit rate, 1 CPU core
+    baseline_pps = (1 << 20) / BASELINE_POLYCOMMIT_S
     print(json.dumps({
         "metric": "msm_points_per_s_per_chip",
         "value": round(pps, 1),
-        "unit": f"points/s (N=2^{args.n}, c={args.c}, backend={jax.default_backend()})",
+        "unit": f"points/s (N=2^{args.n}, c={args.c}, "
+                f"backend={jax.default_backend()})",
         "vs_baseline": round(pps / baseline_pps, 3),
     }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=None, help="log2 instance size")
+    ap.add_argument("--c", type=int, default=8, help="MSM window bits (--msm)")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--msm", action="store_true",
+                    help="MSM microbench instead of NIZK::prove")
+    args = ap.parse_args()
+    if args.msm:
+        args.n = args.n if args.n is not None else 14
+        bench_msm(args)
+    else:
+        args.n = args.n if args.n is not None else 20
+        bench_nizk_prove(args)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.stdout.reconfigure(line_buffering=True)  # progress visible under redirection
 os.environ["SPARTAN_TPU_PROFILE"] = "1"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -19,6 +20,10 @@ def main():
     ap.add_argument("--max", type=int, default=20)
     ap.add_argument("--inputs", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reps", type=int, default=1,
+                    help="prove() repetitions; rep >= 2 shows warm "
+                         "steady-state phase timings (rep 1 pays XLA "
+                         "compiles)")
     args = ap.parse_args()
 
     import jax
@@ -44,8 +49,13 @@ def main():
         gens = NIZKGens(n, n, args.inputs)
         t.stop()
 
-        proof = NIZK.prove(inst, vars_a, inputs_a, gens,
-                           Transcript(b"nizk_example"))
+        import time as _time
+
+        for rep in range(args.reps):
+            t0 = _time.perf_counter()
+            proof = NIZK.prove(inst, vars_a, inputs_a, gens,
+                               Transcript(b"nizk_example"))
+            print(f"[rep {rep}] NIZK::prove wall {_time.perf_counter() - t0:.3f}s")
 
         blob = ser.nizk_to_bytes(proof)
         print(f"proof size: {len(blob)} bytes "

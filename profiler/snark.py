@@ -10,6 +10,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.stdout.reconfigure(line_buffering=True)  # progress visible under redirection
 os.environ["SPARTAN_TPU_PROFILE"] = "1"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -20,6 +21,9 @@ def main():
     ap.add_argument("--max", type=int, default=20)
     ap.add_argument("--inputs", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reps", type=int, default=1,
+                    help="prove() repetitions; rep >= 2 shows warm "
+                         "steady-state phase timings")
     args = ap.parse_args()
 
     import jax
@@ -46,10 +50,18 @@ def main():
         gens = SNARKGens(n, n, args.inputs, n)
         t.stop()
 
-        comm, decomm = SNARK.encode(inst, gens)
+        import time as _time
 
-        proof = SNARK.prove(inst, comm, decomm, vars_a, inputs_a, gens,
-                            Transcript(b"snark_example"))
+        t0 = _time.perf_counter()
+        comm, decomm = SNARK.encode(inst, gens)
+        print(f"SNARK::encode wall {_time.perf_counter() - t0:.3f}s")
+
+        for rep in range(args.reps):
+            t0 = _time.perf_counter()
+            proof = SNARK.prove(inst, comm, decomm, vars_a, inputs_a, gens,
+                                Transcript(b"snark_example"))
+            print(f"[rep {rep}] SNARK::prove wall "
+                  f"{_time.perf_counter() - t0:.3f}s")
 
         blob = ser.snark_to_bytes(proof)
         print(f"proof size: {len(blob)} bytes "

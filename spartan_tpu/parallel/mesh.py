@@ -107,6 +107,36 @@ def sharded_quad_round(mesh: Mesh, axis: str = "shard"):
     return jax.jit(wrapper)
 
 
+def sharded_msm_naive(mesh: Mesh, axis: str = "shard"):
+    """Returns fn(scalars, points) computing an MSM with points/scalars
+    block-sharded across the mesh, using the *naive* per-point
+    double-and-add kernel (a 256-step lax.scan with one add instance).
+
+    Purpose: a sharded MSM whose XLA graph compiles in seconds — the
+    Pippenger sort+segmented-scan graph takes tens of minutes to compile
+    on the CPU backend under shard_map, which is fine for a production
+    TPU run with a warm cache but not for dryruns/CI.  Results are
+    bit-identical to ``sharded_msm``.
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), PointArray(P(axis), P(axis), P(axis), P(axis))),
+        out_specs=PointArray(P(None), P(None), P(None), P(None)),
+        check_rep=False,
+    )
+    def msm_fn(scalars, points):
+        prods = ed.scalar_mul(points, scalars)
+        local = ed.sum_reduce(prods, axis=0)
+        gathered = jax.lax.all_gather(
+            PointArray(*(pc[None] for pc in local)), axis, axis=0, tiled=True
+        )  # (D,)
+        return _tree_sum(gathered, mesh.shape[axis])
+
+    return jax.jit(msm_fn)
+
+
 def sharded_msm(mesh: Mesh, c: int = 8, axis: str = "shard"):
     """Returns fn(scalars, points) computing an MSM with points/scalars
     block-sharded across the mesh; per-chip Pippenger + all_gather of
@@ -136,3 +166,163 @@ def _tree_sum(pts: PointArray, n: int) -> PointArray:
         )
         n = half
     return pts
+
+
+# ---------------------------------------------------------------------------
+# Sharded sumcheck rounds (generalized over the three combs)
+# ---------------------------------------------------------------------------
+
+from ..protocols import _combs
+
+_KERNEL_CACHE: dict = {}
+
+
+def _round_kernels(mesh: Mesh, which: str, axis: str):
+    """(evals_only, fold_evals, fold_only) shard_map kernels for one
+    comb.  Cached per (mesh, which): jax.jit then specializes per table
+    shape as the rounds halve."""
+    key = (mesh, which, axis)
+    if key in _KERNEL_CACHE:
+        return _KERNEL_CACHE[key]
+    k = _combs.NTABLES[which]
+    in_tabs = tuple(P(axis) for _ in range(k))
+
+    def psum_sum(x):
+        return psum_mod_q(fq.sum_mod(x), axis)
+
+    @partial(shard_map, mesh=mesh, in_specs=(in_tabs,),
+             out_specs=P(None), check_rep=False)
+    def evals_only(tables):
+        return jnp.stack(list(_combs.evals(which, tables, psum_sum)), axis=0)
+
+    @partial(shard_map, mesh=mesh, in_specs=(in_tabs, P(None)),
+             out_specs=(in_tabs, P(None)), check_rep=False)
+    def fold_evals(tables, r_m):
+        from ..poly import dense
+
+        folded = tuple(dense.bound_var_top(T, r_m) for T in tables)
+        es = jnp.stack(list(_combs.evals(which, folded, psum_sum)), axis=0)
+        return folded, es
+
+    @partial(shard_map, mesh=mesh, in_specs=(in_tabs, P(None)),
+             out_specs=in_tabs, check_rep=False)
+    def fold_only(tables, r_m):
+        from ..poly import dense
+
+        return tuple(dense.bound_var_top(T, r_m) for T in tables)
+
+    out = (jax.jit(evals_only), jax.jit(fold_evals), jax.jit(fold_only))
+    _KERNEL_CACHE[key] = out
+    return out
+
+
+class ShardedSumcheckTables:
+    """Sumcheck tables laid out trailing-bit-sharded across a mesh.
+
+    Every fold (bound_poly_var_top) is chip-local under this layout —
+    index i pairs with i + n/2, which differ only in the LEADING bit —
+    and round evaluations cost one 18-limb integer psum.  When the
+    global table drops below 2 elements/chip the tables unshard and the
+    remaining rounds run on the default device.  Results (and therefore
+    proof bytes) are bit-identical to the unsharded prover.
+
+    TPU-native replacement for the rayon/SIMD parallelism the reference
+    leaves to dependencies (SURVEY §2 P1/P3; sumcheck.rs:199-228).
+    """
+
+    def __init__(self, mesh: Mesh, tables: list[jnp.ndarray], which: str,
+                 axis: str = "shard"):
+        self.mesh, self.which, self.axis = mesh, which, axis
+        self.d = mesh.shape[axis]
+        n = tables[0].shape[0]
+        self.sharded = n >= 2 * self.d
+        if self.sharded:
+            self.tables = [shard_table(T, mesh, axis) for T in tables]
+        else:
+            self.tables = list(tables)
+
+    def _unshard_if_small(self):
+        """The local lo/hi split equals the global split only while
+        each chip holds >= 2 elements; unshard BEFORE a fold whose
+        output would drop below that (post-fold local size >= 2 also
+        guarantees the next round's evals split stays local)."""
+        if self.sharded and self.tables[0].shape[0] < 4 * self.d:
+            self.tables = [unshard_table(T, self.d) for T in self.tables]
+            self.sharded = False
+
+    def evals(self) -> jnp.ndarray:
+        if self.sharded:
+            ev, _, _ = _round_kernels(self.mesh, self.which, self.axis)
+            return ev(tuple(self.tables))
+        return jnp.stack(
+            list(_combs.evals(self.which, self.tables, fq.sum_mod)), axis=0)
+
+    def fold_evals(self, r_m: jnp.ndarray) -> jnp.ndarray:
+        self._unshard_if_small()
+        if self.sharded:
+            _, fe, _ = _round_kernels(self.mesh, self.which, self.axis)
+            folded, es = fe(tuple(self.tables), r_m)
+            self.tables = list(folded)
+            return es
+        from ..poly import dense
+
+        self.tables = [dense.bound_var_top(T, r_m) for T in self.tables]
+        return jnp.stack(
+            list(_combs.evals(self.which, self.tables, fq.sum_mod)), axis=0)
+
+    def fold(self, r_m: jnp.ndarray) -> None:
+        self._unshard_if_small()
+        if self.sharded:
+            _, _, fo = _round_kernels(self.mesh, self.which, self.axis)
+            self.tables = list(fo(tuple(self.tables), r_m))
+        else:
+            from ..poly import dense
+
+            self.tables = [dense.bound_var_top(T, r_m) for T in self.tables]
+
+    def final_scalars(self) -> jnp.ndarray:
+        """(k, 16) stacked T[0] values (logical index 0).  Under the
+        trailing-bit layout logical 0 sits at position 0 of shard 0,
+        which is global position 0 either way."""
+        return jnp.stack([T[0] for T in self.tables], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel row-block MSM (the witness-commitment kernel)
+# ---------------------------------------------------------------------------
+
+def msm_rows_blocked(scalars: jnp.ndarray, gens: PointArray,
+                     mesh: Mesh, axis: str = "shard") -> PointArray:
+    """L row-commitments (dense_mlpoly.rs:148-162, the rayon site)
+    computed as D independent per-device Pippenger launches over row
+    blocks — rows are independent MSMs sharing the generator vector, so
+    this is collective-free data parallelism.  Uses explicit per-device
+    dispatch of the SAME single-device kernel (one compile, D async
+    launches) rather than shard_map: the sort+seg-scan Pippenger graph
+    is expensive to compile and shard_map would force a second copy.
+
+    Returns the (L,) PointArray of row commitments on the default
+    device; group elements (and compressed bytes) are bit-identical to
+    ``msm.msm_rows`` — only projective representatives may differ.
+    """
+    from ..curve.msm import _msm_rows_jit, _pick_c
+
+    L, R = scalars.shape[0], scalars.shape[1]
+    devs = list(mesh.devices.flat)
+    d = len(devs)
+    if L % d != 0 or L < d:
+        return msm_mod.msm_rows(scalars, gens)
+    Lb = L // d
+    c = _pick_c(Lb * R, rows=Lb)
+    tiled = PointArray(*(jnp.tile(gc, (Lb, 1)) for gc in gens))
+    outs = []
+    for i, dev in enumerate(devs):
+        block = jax.device_put(
+            scalars[i * Lb:(i + 1) * Lb].reshape(Lb * R, 16), dev)
+        tiled_d = PointArray(*(jax.device_put(tc, dev) for tc in tiled))
+        outs.append(_msm_rows_jit(block, tiled_d, c, Lb))
+    dev0 = jax.devices()[0]
+    return PointArray(*(
+        jnp.concatenate([jax.device_put(o[i], dev0) for o in outs], axis=0)
+        for i in range(4)
+    ))

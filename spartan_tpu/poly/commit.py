@@ -64,7 +64,16 @@ def commit(Z: jnp.ndarray, gens: PolyCommitmentGens,
         blinds = [0] * L_size
 
     scalars = fq.from_mont(Z).reshape(L_size, R_size, 16)
-    rows = dmsm.msm_rows(scalars, gens.gens.gens_n.device_G)  # (L_size,)
+    from ..parallel import context as pctx
+
+    mesh = pctx.get_mesh()
+    if mesh is not None:
+        from ..parallel.mesh import msm_rows_blocked
+
+        rows = msm_rows_blocked(
+            scalars, gens.gens.gens_n.device_G, mesh)  # (L_size,)
+    else:
+        rows = dmsm.msm_rows(scalars, gens.gens.gens_n.device_G)  # (L_size,)
     # add blinds * h (batched scalar-mul of the fixed h)
     h_tiled = ded.PointArray(
         *(jnp.tile(c, (L_size, 1)) for c in gens.gens.gens_n.device_h)

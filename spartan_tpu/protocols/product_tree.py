@@ -222,7 +222,8 @@ class ProductCircuitEvalProofBatched:
                 transcript.append_scalar(b"claim_prod_left", claims_prod_left[k])
                 transcript.append_scalar(b"claim_prod_right", claims_prod_right[k])
 
-            assert len(rand) == len(rand_prod)
+            if len(rand) != len(rand_prod):
+                raise ProofVerifyError("product proof: round count")
             eq = 1
             for a, b in zip(rand, rand_prod):
                 eq = eq * (a * b + (1 - a) * (1 - b)) % Q

@@ -446,7 +446,8 @@ class ProductLayerProof:
         transcript.append_scalar(b"claim_col_eval_audit", col_eval_audit)
 
         eval_dotp_left, eval_dotp_right = self.eval_val
-        if len(eval_dotp_left) != num_instances:
+        if (len(eval_dotp_left) != num_instances
+                or len(eval_dotp_right) != num_instances):
             raise ProofVerifyError("product layer: dotp count")
         claims_dotp_circuit = []
         for i in range(num_instances):
@@ -573,12 +574,14 @@ class HashLayerProof:
         rand_mem, rand_ops = rand
 
         eval_row_ops_val, eval_col_ops_val = self.eval_derefs
-        assert len(eval_row_ops_val) == len(eval_col_ops_val)
+        if len(eval_row_ops_val) != len(eval_col_ops_val):
+            raise ProofVerifyError("hash layer: derefs eval count")
         self.proof_derefs.verify(
             rand_ops, eval_row_ops_val, eval_col_ops_val,
             gens.gens_derefs, comm_derefs, transcript)
 
-        if len(claims_dotp) != 3 * len(eval_row_ops_val):
+        if (len(claims_dotp) != 3 * len(eval_row_ops_val)
+                or len(self.eval_val) < len(eval_row_ops_val)):
             raise ProofVerifyError("hash layer: dotp claim count")
         for i in range(len(claims_dotp) // 3):
             if (claims_dotp[3 * i] % Q != eval_row_ops_val[i] % Q
@@ -699,9 +702,9 @@ class PolyEvalNetworkProof:
 
         claims_mem, rand_mem, claims_ops, claims_dotp, rand_ops = (
             self.proof_prod_layer.verify(num_ops, num_cells, evals, transcript))
-        assert len(claims_mem) == 4
-        assert len(claims_ops) == 4 * num_instances
-        assert len(claims_dotp) == 3 * num_instances
+        if (len(claims_mem) != 4 or len(claims_ops) != 4 * num_instances
+                or len(claims_dotp) != 3 * num_instances):
+            raise ProofVerifyError("eval network: claim counts")
 
         claims_ops_row_read = claims_ops[:num_instances]
         claims_ops_row_write = claims_ops[num_instances:2 * num_instances]
@@ -767,7 +770,8 @@ class SparseMatPolyEvalProof:
         transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
         rx_ext, ry_ext = _equalize(rx, ry)
         nz, num_mem_cells = comm.num_ops, comm.num_mem_cells
-        assert (1 << len(rx_ext)) == num_mem_cells
+        if (1 << len(rx_ext)) != num_mem_cells:
+            raise ProofVerifyError("sparse eval: point/commitment size")
 
         self.comm_derefs.append_to_transcript(
             b"comm_poly_row_col_ops_val", transcript)

@@ -29,15 +29,22 @@ from ..ff import fq
 from ..poly import dense
 from ..poly.unipoly import UniPoly
 from ..utils.errors import ProofVerifyError
+from . import _combs
 from .sigma import DotProductProof
 
 
 def _use_device_prover() -> bool:
     """Device-resident round loops (zero host round-trips per round):
     on by default on accelerator backends where the host<->device
-    round-trip dominates; SPARTAN_TPU_DEVICE_PROVER=0/1 overrides."""
+    round-trip dominates; SPARTAN_TPU_DEVICE_PROVER=0/1 overrides.
+    When a device mesh is active the sharded host-path rounds win
+    instead (the device-resident transcript is single-chip for now)."""
     import os
 
+    from ..parallel import context as pctx
+
+    if pctx.get_mesh() is not None:
+        return False
     v = os.environ.get("SPARTAN_TPU_DEVICE_PROVER", "auto")
     if v in ("0", "1"):
         return v == "1"
@@ -85,51 +92,20 @@ def _r_mont(r: int) -> jnp.ndarray:
 @jax.jit
 def _evals_quad(A: jnp.ndarray, B: jnp.ndarray):
     """Round evals at {0,2} of sum_i A(i)*B(i) (comb = product)."""
-    n = A.shape[0] // 2
-    alo, ahi = A[:n], A[n:]
-    blo, bhi = B[:n], B[n:]
-    e0 = fq.sum_mod(fq.mul(alo, blo))
-    a2 = fq.sub(fq.add(ahi, ahi), alo)
-    b2 = fq.sub(fq.add(bhi, bhi), blo)
-    e2 = fq.sum_mod(fq.mul(a2, b2))
-    return e0, e2
+    return _combs.evals("quad", (A, B), fq.sum_mod)
 
 
 @jax.jit
 def _evals_cubic_additive(A, B, C, D):
     """Round evals at {0,2,3} of sum_i A*(B*C - D) — phase-1 comb
     (r1csproof.rs:85-89)."""
-    n = A.shape[0] // 2
-
-    def comb(a, b, c, d):
-        return fq.mul(a, fq.sub(fq.mul(b, c), d))
-
-    lo = [X[:n] for X in (A, B, C, D)]
-    hi = [X[n:] for X in (A, B, C, D)]
-    e0 = fq.sum_mod(comb(*lo))
-    p2 = [fq.sub(fq.add(h, h), l) for h, l in zip(hi, lo)]
-    e2 = fq.sum_mod(comb(*p2))
-    p3 = [fq.add(x2, fq.sub(h, l)) for x2, h, l in zip(p2, hi, lo)]
-    e3 = fq.sum_mod(comb(*p3))
-    return e0, e2, e3
+    return _combs.evals("cubic", (A, B, C, D), fq.sum_mod)
 
 
 @jax.jit
 def _evals_cubic_prod(A, B, C):
     """Round evals at {0,2,3} of sum_i A*B*C (product-tree comb)."""
-    n = A.shape[0] // 2
-
-    def comb(a, b, c):
-        return fq.mul(fq.mul(a, b), c)
-
-    lo = [X[:n] for X in (A, B, C)]
-    hi = [X[n:] for X in (A, B, C)]
-    e0 = fq.sum_mod(comb(*lo))
-    p2 = [fq.sub(fq.add(h, h), l) for h, l in zip(hi, lo)]
-    e2 = fq.sum_mod(comb(*p2))
-    p3 = [fq.add(x2, fq.sub(h, l)) for x2, h, l in zip(p2, hi, lo)]
-    e3 = fq.sum_mod(comb(*p3))
-    return e0, e2, e3
+    return _combs.evals("cubic_prod", (A, B, C), fq.sum_mod)
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +176,8 @@ class ZKSumcheckInstanceProof:
     def verify(self, comm_claim: bytes, num_rounds: int, degree_bound: int,
                gens_1: MultiCommitGens, gens_n: MultiCommitGens,
                transcript: Transcript) -> tuple[bytes, list[int]]:
-        assert gens_n.n == degree_bound + 1
+        if gens_n.n != degree_bound + 1:
+            raise ProofVerifyError("generator count != degree bound + 1")
         if len(self.comm_polys) != num_rounds or len(self.comm_evals) != num_rounds:
             raise ProofVerifyError("wrong number of rounds")
         r = []
@@ -240,7 +217,20 @@ class ZKSumcheckInstanceProof:
 
         Round cadence: the fused fold+next-evals kernel is dispatched
         (async) as soon as the challenge is known, so the device folds
-        round j+1's tables while the host runs round j's sigma proof."""
+        round j+1's tables while the host runs round j's sigma proof.
+
+        When a device mesh is active (parallel.context), tables run
+        trailing-bit-sharded across it with psum round reductions —
+        proof bytes are identical either way."""
+        from ..parallel import context as pctx
+
+        mesh = pctx.get_mesh()
+        mgr = None
+        if mesh is not None and which is not None:
+            from ..parallel.mesh import ShardedSumcheckTables
+
+            mgr = ShardedSumcheckTables(mesh, tables, which)
+
         blinds_poly = tape.random_vector(b"blinds_poly", num_rounds)
         blinds_evals = tape.random_vector(b"blinds_evals", num_rounds)
         claim_per_round = claim % Q
@@ -252,7 +242,7 @@ class ZKSumcheckInstanceProof:
         comm_evals: list[bytes] = []
         proofs: list[DotProductProof] = []
 
-        es_dev = jnp.stack(list(evals_fn(*tables)), axis=0)
+        es_dev = mgr.evals() if mgr else jnp.stack(list(evals_fn(*tables)), axis=0)
         for j in range(num_rounds):
             es = fq.decode_to_ints(es_dev)
             e0 = es[0]
@@ -265,7 +255,12 @@ class ZKSumcheckInstanceProof:
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             rm = _r_mont(r_j)
-            if which is not None and j + 1 < num_rounds:
+            if mgr is not None:
+                if j + 1 < num_rounds:
+                    es_dev = mgr.fold_evals(rm)
+                else:
+                    mgr.fold(rm)
+            elif which is not None and j + 1 < num_rounds:
                 tables, es_dev = _fold_then_evals(tables, rm, which)
             else:
                 tables = [dense.bound_var_top(T, rm) for T in tables]
@@ -299,7 +294,8 @@ class ZKSumcheckInstanceProof:
             comm_evals.append(comm_eval)
 
         final_claims = fq.decode_to_ints(
-            jnp.stack([T[0] for T in tables], axis=0))
+            mgr.final_scalars() if mgr
+            else jnp.stack([T[0] for T in tables], axis=0))
         return (
             ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs),
             r,

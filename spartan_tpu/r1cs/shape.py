@@ -109,9 +109,22 @@ class R1CSShape:
         assert num_cons == _next_pow2(num_cons)
         assert num_vars == _next_pow2(num_vars)
         assert num_inputs < num_vars
-        # scatter-accumulator overflow guard (see _spmv)
-        for m in (A, B, C):
-            assert m.nnz < (1 << 16) or True  # per-row bound checked below
+        # Scatter-accumulator overflow guard: _spmv sums (nnz,16)
+        # products with limbs < 2^16 into per-limb uint32 cells, so any
+        # single output cell may receive at most 2^16 contributions.
+        # _spmv scatters on rows (multiply_vec) AND on cols
+        # (compute_eval_table_sparse), so both axes are bounded.
+        for name, m in (("A", A), ("B", B), ("C", C)):
+            if m.nnz == 0:
+                continue
+            for axis, idx in (("row", m._rows_np), ("col", m._cols_np)):
+                heaviest = int(np.bincount(idx).max())
+                if heaviest >= (1 << 16):
+                    raise R1CSError(
+                        f"matrix {name}: {heaviest} entries share one "
+                        f"{axis} (max {(1 << 16) - 1}); the SpMV "
+                        "accumulator would overflow"
+                    )
         self.num_cons = num_cons
         self.num_vars = num_vars
         self.num_inputs = num_inputs
@@ -186,6 +199,16 @@ class R1CSShape:
         size_z = num_vars + num_inputs + 1
         Z = [rng.randrange(Q) for _ in range(size_z)]
         Z[num_vars] = 1
+        # batch-invert every z value once (Montgomery trick) instead of
+        # num_cons separate pow(-1) calls — same values, ~30x faster at
+        # 2^20 rows
+        from ..core.field import batch_inv
+
+        nonzero_idx = [i for i, z in enumerate(Z) if z != 0]
+        invs = batch_inv([Z[i] for i in nonzero_idx])
+        Z_inv = [0] * size_z
+        for i, v in zip(nonzero_idx, invs):
+            Z_inv[i] = v
         A, B, C = [], [], []
         for i in range(num_cons):
             a_idx = i % size_z
@@ -197,7 +220,7 @@ class R1CSShape:
             if Z[c_idx] == 0:
                 C.append((i, num_vars, ab))
             else:
-                C.append((i, c_idx, ab * pow(Z[c_idx], -1, Q) % Q))
+                C.append((i, c_idx, ab * Z_inv[c_idx] % Q))
         inst = R1CSShape.create(num_cons, num_vars, num_inputs, A, B, C)
         assert inst.is_sat(Z[:num_vars], Z[num_vars + 1:])
         return inst, Z[:num_vars], Z[num_vars + 1:]

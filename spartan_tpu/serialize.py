@@ -4,9 +4,14 @@ the reference's serde+bincode derive on all proof types
 bincode at lib.rs:380-381,409-410 and zlib-compressed in
 profiler/snark.rs:48-50).
 
-Wire format (bincode-flavored, little-endian):
+Wire format (bincode fixint, little-endian):
   u64         8 bytes LE
-  scalar      32 bytes LE canonical (< q)
+  scalar      32 bytes LE **Montgomery form** (v*R mod q, R = 2^256) —
+              matching the reference's bincode derive on
+              Scalar([u64;4]), which serializes the raw Montgomery
+              limbs (ristretto255.rs:195-199, lib.rs:380).  Unlike the
+              Rust derive (which accepts any [u64;4]), the Reader
+              rejects non-canonical (>= q) Montgomery residues.
   point       32 bytes compressed ristretto
   list<T>     u64 count + items
   struct      fields in declaration order
@@ -22,6 +27,7 @@ import io
 import zlib
 
 from .core.field import Q
+from .utils.errors import ProofDeserializeError
 from .poly.commit import PolyCommitment, PolyEvalProof
 from .protocols.bullet import BulletReductionProof
 from .protocols.dotproduct_log import DotProductProofLog
@@ -49,6 +55,9 @@ from .r1cs.commit import R1CSCommitment, R1CSEvalProof
 from .r1cs.proof import R1CSProof
 
 
+_R_INV = pow(1 << 256, -1, Q)  # R^-1 for Montgomery wire decoding
+
+
 class Writer:
     def __init__(self):
         self.buf = io.BytesIO()
@@ -57,7 +66,9 @@ class Writer:
         self.buf.write(int(x).to_bytes(8, "little"))
 
     def scalar(self, x: int):
-        self.buf.write((int(x) % Q).to_bytes(32, "little"))
+        # Montgomery-limb encoding: (x * 2^256) mod q, 32 bytes LE —
+        # byte-compatible with the reference's bincode derive
+        self.buf.write(((int(x) << 256) % Q).to_bytes(32, "little"))
 
     def point(self, b: bytes):
         assert len(b) == 32, len(b)
@@ -84,7 +95,7 @@ class Reader:
 
     def take(self, n: int) -> bytes:
         if self.pos + n > len(self.data):
-            raise ValueError("truncated proof bytes")
+            raise ProofDeserializeError("truncated proof bytes")
         out = self.data[self.pos : self.pos + n]
         self.pos += n
         return out
@@ -93,10 +104,10 @@ class Reader:
         return int.from_bytes(self.take(8), "little")
 
     def scalar(self) -> int:
-        v = int.from_bytes(self.take(32), "little")
-        if v >= Q:
-            raise ValueError("non-canonical scalar in proof bytes")
-        return v
+        mont = int.from_bytes(self.take(32), "little")
+        if mont >= Q:
+            raise ProofDeserializeError("non-canonical scalar in proof bytes")
+        return mont * _R_INV % Q
 
     def point(self) -> bytes:
         return self.take(32)
@@ -109,7 +120,7 @@ class Reader:
 
     def done(self) -> None:
         if self.pos != len(self.data):
-            raise ValueError(
+            raise ProofDeserializeError(
                 f"trailing bytes: {len(self.data) - self.pos}")
 
 

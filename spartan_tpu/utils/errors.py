@@ -7,6 +7,11 @@ class ProofVerifyError(Exception):
     """Proof verification failed (incl. point decompression failures)."""
 
 
+class ProofDeserializeError(Exception):
+    """Malformed proof byte stream (bincode-Err analogue): truncated,
+    trailing bytes, non-canonical scalars, or absurd length prefixes."""
+
+
 class R1CSError(Exception):
     """Invalid R1CS construction input."""
 

@@ -50,6 +50,16 @@ def test_synthetic_r1cs_sat():
     assert inst.is_sat(vars_i, inputs_i)
 
 
+def test_spmv_overflow_guard():
+    """An adversarial matrix with >= 2^16 entries hitting one output
+    cell must be rejected at construction (the per-limb uint32
+    scatter accumulator in _spmv would overflow silently otherwise —
+    VERDICT r1 weak #1)."""
+    heavy = [(0, 0, 1)] * (1 << 16)
+    with pytest.raises(R1CSError):
+        R1CSShape.create(16, 16, 2, heavy, [(0, 0, 1)], [(0, 0, 1)])
+
+
 def test_spmv_matches_naive():
     from spartan_tpu.poly import dense
 

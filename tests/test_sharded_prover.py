@@ -1,0 +1,109 @@
+"""Sharded-vs-single-chip equality: the same NIZK proof BYTES must come
+out whether or not a device mesh is active (VERDICT r1 next #3; the CPU
+8-device mesh stands in for a pod slice, SURVEY §4).
+
+Sharding is an execution-layout choice (trailing-bit table sharding +
+mod-q psum round reductions + row-block MSM), never a protocol change.
+"""
+
+import pytest
+
+from spartan_tpu import serialize as ser
+from spartan_tpu.api import NIZK, NIZKGens, Instance
+from spartan_tpu.core.field import Q
+from spartan_tpu.core.merlin import Transcript
+from spartan_tpu.parallel import context as pctx
+from spartan_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return pmesh.make_mesh(8)
+
+
+def _prove_bytes(inst, vars_a, inputs_a, gens, label):
+    proof = NIZK.prove(inst, vars_a, inputs_a, gens,
+                       Transcript(label), _tape_seed=77)
+    return ser.nizk_to_bytes(proof)
+
+
+def test_nizk_proof_bytes_sharded_equal(mesh8):
+    inst, vars_a, inputs_a = Instance.produce_synthetic_r1cs(
+        16, 16, 3, seed=55)
+    gens = NIZKGens(16, 16, 3)
+
+    plain = _prove_bytes(inst, vars_a, inputs_a, gens, b"shard_eq")
+    with pctx.use_mesh(mesh8):
+        sharded = _prove_bytes(inst, vars_a, inputs_a, gens, b"shard_eq")
+    assert sharded == plain
+
+    # and the sharded proof verifies
+    proof = ser.nizk_from_bytes(sharded)
+    proof.verify(inst, inputs_a, Transcript(b"shard_eq"), gens)
+
+
+def test_sharded_rounds_match_reference_kernels(mesh8):
+    """One quad and one cubic round on random 2^8 tables: sharded
+    kernels vs the single-device kernels, exact limb equality."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spartan_tpu.ff import fq
+    from spartan_tpu.poly import dense
+    from spartan_tpu.parallel.mesh import ShardedSumcheckTables
+    from spartan_tpu.protocols import _combs
+
+    rng = np.random.default_rng(3)
+    n = 1 << 8
+
+    def rand_table():
+        return dense.from_ints([int(x) for x in rng.integers(0, 1 << 62, n)])
+
+    for which in ("quad", "cubic", "cubic_prod"):
+        k = _combs.NTABLES[which]
+        tables = [rand_table() for _ in range(k)]
+        r_m = dense.from_ints([987654321])
+
+        ref = fq.decode_to_ints(jnp.stack(
+            list(_combs.evals(which, tables, fq.sum_mod)), axis=0))
+
+        mgr = ShardedSumcheckTables(mesh8, tables, which)
+        got = fq.decode_to_ints(mgr.evals())
+        assert got == ref, which
+
+        # fold once and compare next-round evals too
+        es2 = fq.decode_to_ints(mgr.fold_evals(r_m))
+        folded = [dense.bound_var_top(T, r_m) for T in tables]
+        ref2 = fq.decode_to_ints(jnp.stack(
+            list(_combs.evals(which, folded, fq.sum_mod)), axis=0))
+        assert es2 == ref2, which
+
+
+def test_msm_rows_blocked_matches(mesh8):
+    import hashlib
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spartan_tpu.core import ristretto as hri
+    from spartan_tpu.curve import edwards as ed
+    from spartan_tpu.curve import msm as dmsm
+    from spartan_tpu.curve import ristretto as dri
+    from spartan_tpu.ff import limb
+
+    rng = np.random.default_rng(9)
+    L, R = 16, 16
+    pts = [hri.from_uniform_bytes(hashlib.sha512(b"mrb%d" % i).digest())
+           for i in range(R)]
+    gens = ed.from_host(pts)
+    scalars = jnp.asarray(limb.ints_to_limbs(
+        [int(x) for x in rng.integers(0, 1 << 61, L * R)])).reshape(L, R, 16)
+
+    want = dri.compress_to_bytes(dmsm.msm_rows(scalars, gens, c=4))
+    got = dri.compress_to_bytes(
+        pmesh.msm_rows_blocked(scalars, gens, mesh8))
+    assert got == want
