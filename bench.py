@@ -20,6 +20,13 @@ import os
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# The axon TPU backend cannot persist compiled executables across
+# processes, so this fresh process pays every XLA compile itself.  The
+# host-transcript prover with shape-stable rounds costs ~2 small phase
+# compiles instead of the device-resident prover's two giant traced
+# executables (which add ~25 min of one-time compile for ~3 s of
+# steady-state win at 2^20).  SPARTAN_TPU_DEVICE_PROVER=1 opts back in.
+os.environ.setdefault("SPARTAN_TPU_DEVICE_PROVER", "0")
 
 BASELINE_NIZK_PROVE_S = 4.5140   # README.md:413, 2^20, 1 CPU core
 BASELINE_POLYCOMMIT_S = 2.7176   # README.md:353-354

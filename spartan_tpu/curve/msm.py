@@ -171,6 +171,216 @@ def _msm_windows(scalars: jnp.ndarray, points: PointArray, c: int, rows: int) ->
     return acc
 
 
+# ---------------------------------------------------------------------------
+# Bit-parallel masked tree-sum MSM — the TPU-native fast path
+# ---------------------------------------------------------------------------
+
+def _sum_points_axis1_masked(pts: PointArray, R: int) -> PointArray:
+    """Tree-sum along axis 1 (must be a power of two): one point-add
+    instance inside a fori_loop, halving via roll + select."""
+    log_r = (R - 1).bit_length()  # exact for powers of two; 0 when R == 1
+    if log_r == 0:
+        return PointArray(*(c[:, 0] for c in pts))
+    idx = jnp.arange(R)[None, :]
+
+    def round_fn(d, p):
+        half = jnp.left_shift(jnp.int32(1), log_r - 1 - d)
+        rolled = PointArray(*(jnp.roll(c, -half, axis=1) for c in p))
+        take = idx < half
+        return ed.select(take, ed.add(p, rolled), p)
+
+    out = lax.fori_loop(0, log_r, round_fn, pts)
+    return PointArray(*(c[:, 0] for c in out))
+
+
+@jax.jit
+def _msm_rows_bits_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
+    """out[l] = sum_i scalars[l,i] * gens[i] via 256 MSB-first Horner
+    steps: acc = 2*acc + sum_i(bit(l,i) ? G_i : O).
+
+    Rationale (measured on the target chip): classic Pippenger
+    minimizes point-ADD count for serial machines, but our seg-scan
+    variant is gather/sort-bound — TPU gathers run ~50 M elem/s while
+    streaming roll/select/mul ops run at ~3.7 TB/s.  The bit-parallel
+    masked tree-sum does a comparable number of point-add LANES with
+    zero sorts and zero gathers, so it is pure-streaming:  256 steps x
+    (select + log2(R)-round tree-sum + double + add), one compiled
+    instance of each op.  It also compiles in seconds (the sort+scan
+    graph costs minutes of XLA).
+
+    scalars: (L, R, 16) canonical limbs; gens: (R,) points.
+    """
+    L, R, _ = scalars.shape
+    gens_b = PointArray(*(jnp.broadcast_to(c[None], (L, R, limb.NLIMBS))
+                          for c in gens))
+    ident = ed.identity((L, R))
+
+    def body(acc, w):
+        # global bit index = 255 - w (MSB first)
+        b = 255 - w
+        limb_idx = b // 16
+        sh = b % 16
+        limbs = lax.dynamic_index_in_dim(scalars, limb_idx, axis=2,
+                                         keepdims=False)  # (L, R)
+        bits = (limbs >> sh.astype(jnp.uint32)) & 1
+        sel = ed.select(bits.astype(bool), gens_b, ident)
+        s = _sum_points_axis1_masked(sel, R)  # (L,)
+        acc = ed.add(ed.double(acc), s)
+        return acc, None
+
+    acc, _ = lax.scan(body, ed.identity((L,)), jnp.arange(256, dtype=jnp.int32))
+    return acc
+
+
+def _tree_sum_rows(p: PointArray) -> PointArray:
+    """Tree-sum along axis 1 (power of two) with halving slices:
+    R-1 point-add lanes per row total — 10x less work than a
+    full-width masked fori_loop at R=1024."""
+    n = p.x.shape[1]
+    while n > 1:
+        half = n // 2
+        a = PointArray(*(c[:, :half] for c in p))
+        b = PointArray(*(c[:, half:n] for c in p))
+        p = ed.add(a, b)
+        n = half
+    return PointArray(*(c[:, 0] for c in p))
+
+
+def _select16(v: jnp.ndarray, tab: list) -> PointArray:
+    """sel[l,i] = tab[v[l,i]][i] via a 4-level binary select tree
+    (15 cheap VPU selects per lane instead of a gather)."""
+    bits = [((v >> k) & 1).astype(bool) for k in range(4)]
+    cur = tab
+    for k in (3, 2, 1, 0):
+        half = 1 << k
+        b = bits[k]
+        cur = [ed.select(b, hi, lo) for lo, hi in zip(cur[:half], cur[half:])]
+    return cur[0]
+
+
+@jax.jit
+def _msm_rows_win_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
+    """out[l] = sum_i scalars[l,i] * gens[i] — 4-bit windowed Horner.
+
+    The streaming MSM for TPU: 64 MSB-first window steps of
+      acc = 16*acc + sum_i M[v_i, i]
+    where M[v] = v*G is a 16-entry multiples table built once with 14
+    point adds, the per-lane table lookup is a 4-level select tree
+    (pure VPU where-ops), and the row sum is a halving tree.  Total
+    ~64*L*R point-add lanes vs 2560*L*R for the 1-bit masked variant
+    (measured 109 s -> ~4 s at L*R = 2^20) and zero sorts/gathers vs
+    scan-Pippenger (whose gathers run ~10 M rows/s; measured 123 s).
+    Window width 4 divides the 16-bit limb width, so window extraction
+    is one shift+mask.
+
+    scalars: (L, R, 16) canonical limbs; gens: (R,) points.
+    """
+    L, R, _ = scalars.shape
+    tab = [ed.identity((R,)), gens]
+    for v in range(2, 16):
+        tab.append(ed.add(tab[v - 1], gens))
+
+    def step(acc, s):
+        w = 63 - s                       # MSB-first window index
+        limb_idx = w // 4                # 4 windows per 16-bit limb
+        sh = (w % 4) * 4
+        lm = lax.dynamic_index_in_dim(scalars, limb_idx, axis=2,
+                                      keepdims=False)   # (L, R)
+        v = (lm >> sh.astype(jnp.uint32)) & 15
+        sel = _select16(v, tab)
+        s_row = _tree_sum_rows(sel)      # (L,)
+        acc = ed.double(ed.double(ed.double(ed.double(acc))))
+        return ed.add(acc, s_row), None
+
+    acc, _ = lax.scan(step, ed.identity((L,)),
+                      jnp.arange(64, dtype=jnp.int32))
+    return acc
+
+
+@jax.jit
+def _msm_rows_win_t_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
+    """Transposed-layout (limb-first) variant of _msm_rows_win_jit.
+
+    Same 4-bit windowed Horner, but all point coordinates live as
+    (..., 16, W) blocks — limbs on the SUBLANE axis, points on LANES —
+    using the lazy pseudo-Mersenne field ops shared with the Pallas
+    kernel (curve/pallas_msm.py).  Rationale: in the default
+    limbs-minor (..., 16) layout every elementwise op occupies 16 of
+    128 vector lanes; transposing makes the point axis minor so the
+    VPU runs full-width.  The transposes themselves are two O(bytes)
+    relayouts at the kernel edge.
+
+    scalars: (L, R, 16) canonical limbs; gens: (R,) points.
+    """
+    from . import pallas_msm as pm
+
+    L, R, _ = scalars.shape
+    f = pm._FpLazy(jnp.asarray(pm._CONSTS))
+    scal_t = jnp.swapaxes(scalars, -1, -2)          # (L, 16, R)
+    tab4 = pm._build_tab(gens)                       # 4 x (16, 16, R)
+    tabs = [tuple(tc[e] for tc in tab4) for e in range(16)]
+
+    def step(acc, s):
+        w = 63 - s                        # MSB-first window index
+        limb_idx = w // 4
+        sh = (w % 4) * 4
+        lm = lax.dynamic_slice_in_dim(scal_t, limb_idx, 1, axis=1)  # (L,1,R)
+        d = (lm >> sh.astype(jnp.uint32)) & jnp.uint32(15)
+        p = pm._tree_select(d, tabs)      # 4-tuple of (L, 16, R)
+        # halving tree-sum along the lane axis
+        width = R
+        while width > 1:
+            half = width // 2
+            a = tuple(c[..., :half] for c in p)
+            b = tuple(c[..., half:width] for c in p)
+            p = pm._padd(f, a, b)
+            width = half
+        s_row = p                          # 4-tuple of (L, 16, 1)
+        acc = pm._padd(f, acc, acc)        # 2*acc
+        acc = pm._padd(f, acc, acc)
+        acc = pm._padd(f, acc, acc)
+        acc = pm._padd(f, acc, acc)        # 16*acc
+        return pm._padd(f, acc, s_row), None
+
+    ident_t = tuple(
+        jnp.broadcast_to(c[..., None], (L, limb.NLIMBS, 1))
+        for c in ed.identity((L,))
+    )
+    acc, _ = lax.scan(step, ident_t, jnp.arange(64, dtype=jnp.int32))
+    # canonicalize lazy coords and return limbs-minor points
+    from ..ff import fp25519 as fp
+
+    coords = []
+    for c in acc:
+        c_lm = jnp.swapaxes(c, -1, -2)[:, 0, :]   # (L, 16) lazy < 2^256
+        coords.append(fp.reduce_canonical(c_lm))
+    return PointArray(*coords)
+
+
+@jax.jit
+def _msm_rows_naive_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
+    """out[l] = sum_i scalars[l,i] * gens[i] via one batched 256-step
+    double-and-add ladder + halving tree row-sum.  ~4x the point-op
+    LANES of the windowed kernel, but the whole graph is one add+double
+    instance inside a lax.scan — it compiles in seconds where the
+    windowed/Pippenger graphs cost the CPU backend tens of minutes and
+    tens of GB of LLVM state per shape.  The CPU-backend default
+    (tests/dev); results are identical group elements."""
+    L, R, _ = scalars.shape
+    gens_b = PointArray(*(jnp.broadcast_to(c[None], (L, R, limb.NLIMBS))
+                          for c in gens))
+    prods = ed.scalar_mul(gens_b, scalars)   # (L, R)
+    return _tree_sum_rows(prods)
+
+
+_DENSE_MSM_JIT = {
+    "bits": _msm_rows_bits_jit,
+    "win": _msm_rows_win_jit,
+    "win_t": _msm_rows_win_t_jit,
+    "naive": _msm_rows_naive_jit,
+}
+
+
 def _pick_c(n: int, rows: int = 1) -> int:
     """Pick the Pippenger window width from a lane-cost model.
 
@@ -214,12 +424,87 @@ _MSM_JIT = {4: _msm_jit_c4, 8: _msm_jit_c8, 16: _msm_jit_c16}
 
 def msm(scalars: jnp.ndarray, points: PointArray, c: int | None = None) -> PointArray:
     """MSM: sum_i scalars[i] * points[i].  scalars: (N, 16) canonical
-    limbs.  Returns a scalar PointArray (shape ())."""
+    limbs.  Returns a scalar PointArray (shape ()).  Inputs larger than
+    the launch cap are processed in equal chunks and combined with a
+    handful of point adds (see _row_chunk_for)."""
     n = scalars.shape[0]
+    chunk = _row_chunk_for(1)
+    if _msm_impl() in _DENSE_MSM_JIT:
+        if n > chunk and n % chunk == 0:
+            acc = None
+            for i in range(0, n, chunk):
+                part = _dense_launch(
+                    scalars[None, i:i + chunk],
+                    PointArray(*(pc[i:i + chunk] for pc in points)))
+                acc = part if acc is None else ed.add(acc, part)
+            return PointArray(*(pc[0] for pc in acc))
+        out = _dense_launch(scalars[None], points)
+        return PointArray(*(pc[0] for pc in out))
+    if n > chunk and n % chunk == 0:
+        if c is None:
+            c = _pick_c(chunk)
+        acc = None
+        for i in range(0, n, chunk):
+            part = _MSM_JIT[c](
+                scalars[i:i + chunk],
+                PointArray(*(pc[i:i + chunk] for pc in points)))
+            acc = part if acc is None else ed.add(acc, part)
+        return PointArray(*(pc[0] for pc in acc))
     if c is None:
         c = _pick_c(n)
     out = _MSM_JIT[c](scalars, points)
     return PointArray(*(pc[0] for pc in out))
+
+
+def _row_chunk_for(R: int) -> int:
+    """Rows per launch, capping each launch at ~2^17 points: bounds the
+    sort/seg-scan working set (~32 MB of point lanes instead of 256 MB
+    at 2^20), keeps ONE compiled kernel reused across chunks, and
+    avoids destabilizing the TPU worker with multi-hundred-MB
+    intermediates (2^20 single-launch runs crashed the axon worker).
+    SPARTAN_TPU_MSM_CHUNK (log2 points per launch) overrides."""
+    import os
+
+    log_pts = int(os.environ.get("SPARTAN_TPU_MSM_CHUNK", "17"))
+    return max(1, (1 << log_pts) // max(R, 1))
+
+
+def _msm_impl() -> str:
+    """MSM kernel family: "win" (4-bit windowed Horner), "bits" (1-bit
+    Horner), "naive" (ladder), "pippenger" (sort+seg-scan).  Default is
+    backend-dependent: "win" on accelerators (zero gathers — measured
+    123 s -> 25 s per 2^20 msm_rows vs Pippenger on the chip), "naive"
+    on CPU, where LLVM needs tens of minutes, ~20 GB, and >65k mmaps
+    per shape to compile the win/Pippenger graphs even for tiny inputs
+    — the CPU backend exists for tests/dev, and proof bytes are
+    impl-independent."""
+    import os
+
+    v = os.environ.get("SPARTAN_TPU_MSM_IMPL")
+    if v is not None:
+        return v
+    return "win" if jax.default_backend() != "cpu" else "naive"
+
+
+def _dense_launch(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
+    s, g = _pad_pow2(scalars, gens)
+    return _DENSE_MSM_JIT[_msm_impl()](s, g)
+
+
+def _pad_pow2(scalars: jnp.ndarray, gens: PointArray):
+    """Pad the point axis to a power of two with zero scalars (never
+    selected by the bit kernel) and identity points."""
+    R = scalars.shape[1]
+    R2 = 1 << max((R - 1).bit_length(), 0)
+    if R2 == R:
+        return scalars, gens
+    L = scalars.shape[0]
+    scal = jnp.concatenate(
+        [scalars, jnp.zeros((L, R2 - R, 16), dtype=scalars.dtype)], axis=1)
+    pad = ed.identity((R2 - R,))
+    gens2 = PointArray(*(
+        jnp.concatenate([gc, pc], axis=0) for gc, pc in zip(gens, pad)))
+    return scal, gens2
 
 
 def msm_rows(
@@ -229,16 +514,34 @@ def msm_rows(
     out[j] = sum_i scalars[j, i] * gens[i].
 
     This is the witness/Spark commitment kernel (one Pedersen commitment
-    per matrix row, dense_mlpoly.rs:148-162) — rows ride along as part
-    of the bucket key, so the whole batch costs one sort+scan per
-    window regardless of L.
+    per matrix row, dense_mlpoly.rs:148-162).  Default implementation is
+    the bit-parallel masked tree-sum (_msm_rows_bits_jit) — zero
+    sort/gather, pure streaming; SPARTAN_TPU_MSM_IMPL=pippenger selects
+    the sort+seg-scan Pippenger.  Large batches are processed in equal
+    row chunks (see _row_chunk_for): identical results, one compile,
+    bounded HBM.
     """
     L, R = scalars.shape[0], scalars.shape[1]
-    if c is None:
-        c = _pick_c(L * R, rows=L)
-    flat = scalars.reshape(L * R, 16)
-    tiled = PointArray(*(jnp.tile(gc, (L, 1)) for gc in gens))
-    return _msm_rows_jit(flat, tiled, c, L)
+    chunk = _row_chunk_for(R)
+
+    if _msm_impl() in _DENSE_MSM_JIT:
+        def launch(block):
+            return _dense_launch(block, gens)
+    else:
+        cc = c if c is not None else _pick_c(min(L, chunk) * R,
+                                             rows=min(L, chunk))
+
+        def launch(block):
+            rows = block.shape[0]
+            tiled = PointArray(*(jnp.tile(gc, (rows, 1)) for gc in gens))
+            return _msm_rows_jit(block.reshape(rows * R, 16), tiled, cc, rows)
+
+    if L > chunk and L % chunk == 0:
+        outs = [launch(scalars[i:i + chunk]) for i in range(0, L, chunk)]
+        return PointArray(*(
+            jnp.concatenate([o[k] for o in outs], axis=0) for k in range(4)
+        ))
+    return launch(scalars)
 
 
 from functools import partial

@@ -305,7 +305,13 @@ def msm_rows_blocked(scalars: jnp.ndarray, gens: PointArray,
     device; group elements (and compressed bytes) are bit-identical to
     ``msm.msm_rows`` — only projective representatives may differ.
     """
-    from ..curve.msm import _msm_rows_jit, _pick_c
+    from ..curve.msm import (
+        _DENSE_MSM_JIT,
+        _msm_impl,
+        _msm_rows_jit,
+        _pad_pow2,
+        _pick_c,
+    )
 
     L, R = scalars.shape[0], scalars.shape[1]
     devs = list(mesh.devices.flat)
@@ -313,14 +319,22 @@ def msm_rows_blocked(scalars: jnp.ndarray, gens: PointArray,
     if L % d != 0 or L < d:
         return msm_mod.msm_rows(scalars, gens)
     Lb = L // d
-    c = _pick_c(Lb * R, rows=Lb)
-    tiled = PointArray(*(jnp.tile(gc, (Lb, 1)) for gc in gens))
+    dense_fn = _DENSE_MSM_JIT.get(_msm_impl())
+    if dense_fn is None:
+        c = _pick_c(Lb * R, rows=Lb)
+        tiled = PointArray(*(jnp.tile(gc, (Lb, 1)) for gc in gens))
     outs = []
     for i, dev in enumerate(devs):
-        block = jax.device_put(
-            scalars[i * Lb:(i + 1) * Lb].reshape(Lb * R, 16), dev)
-        tiled_d = PointArray(*(jax.device_put(tc, dev) for tc in tiled))
-        outs.append(_msm_rows_jit(block, tiled_d, c, Lb))
+        if dense_fn is not None:
+            s, g = _pad_pow2(scalars[i * Lb:(i + 1) * Lb], gens)
+            s_d = jax.device_put(s, dev)
+            g_d = PointArray(*(jax.device_put(gc, dev) for gc in g))
+            outs.append(dense_fn(s_d, g_d))
+        else:
+            block = jax.device_put(
+                scalars[i * Lb:(i + 1) * Lb].reshape(Lb * R, 16), dev)
+            tiled_d = PointArray(*(jax.device_put(tc, dev) for tc in tiled))
+            outs.append(_msm_rows_jit(block, tiled_d, c, Lb))
     dev0 = jax.devices()[0]
     return PointArray(*(
         jnp.concatenate([jax.device_put(o[i], dev0) for o in outs], axis=0)

@@ -63,10 +63,15 @@ def commit(Z: jnp.ndarray, gens: PolyCommitmentGens,
     else:
         blinds = [0] * L_size
 
+    from ..utils.timer import Timer
+
+    t = Timer("commit::from_mont")
     scalars = fq.from_mont(Z).reshape(L_size, R_size, 16)
     from ..parallel import context as pctx
 
     mesh = pctx.get_mesh()
+    t.stop()
+    t = Timer("commit::msm_rows")
     if mesh is not None:
         from ..parallel.mesh import msm_rows_blocked
 
@@ -74,13 +79,22 @@ def commit(Z: jnp.ndarray, gens: PolyCommitmentGens,
             scalars, gens.gens.gens_n.device_G, mesh)  # (L_size,)
     else:
         rows = dmsm.msm_rows(scalars, gens.gens.gens_n.device_G)  # (L_size,)
+    import jax as _jax
+
+    _jax.block_until_ready(rows.x)
+    t.stop()
+    t = Timer("commit::blinds")
     # add blinds * h (batched scalar-mul of the fixed h)
     h_tiled = ded.PointArray(
         *(jnp.tile(c, (L_size, 1)) for c in gens.gens.gens_n.device_h)
     )
     blind_limbs = jnp.asarray(limb.ints_to_limbs(blinds))
     rows = ded.add(rows, ded.scalar_mul(h_tiled, blind_limbs))
+    _jax.block_until_ready(rows.x)
+    t.stop()
+    t = Timer("commit::compress")
     blobs = dri.compress_to_bytes(rows)
+    t.stop()
     return PolyCommitment(blobs), blinds
 
 

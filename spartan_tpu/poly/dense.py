@@ -19,18 +19,54 @@ from ..core.field import Q
 from ..ff import fq, limb
 
 
-def eq_evals(r: list[int]) -> jnp.ndarray:
+def eq_evals(r: list[int], bitrev: bool = False) -> jnp.ndarray:
     """EqPolynomial::evals (dense_mlpoly.rs:68-84): the 2^ell chi table
     for point r, built by ell doubling steps.  Index bit order: r[0]
     pairs with the MOST significant index bit.  Returns Montgomery
-    limbs (2^ell, 16)."""
+    limbs (2^ell, 16).
+
+    bitrev=True builds the same table in bit-reversed index layout
+    (value of logical index j stored at position rev(j)) — simply by
+    consuming r in reverse order, so the layout costs nothing.  Used by
+    the shape-stable sumcheck rounds (protocols/sumcheck.py::_evals_br).
+
+    The whole doubling loop is ONE jitted executable per ell — a
+    per-step op chain costs ~2*ell dispatches, each a full relay
+    round-trip on the tunneled TPU backend."""
+    order = list(reversed(r)) if bitrev else list(r)
+    r_m = fq.to_mont(jnp.asarray(fq.encode_ints(order)))
+    return _eq_evals_jit(r_m, len(order))
+
+
+@partial(jax.jit, static_argnames=("ell",))
+def _eq_evals_jit(r_m: jnp.ndarray, ell: int) -> jnp.ndarray:
     table = fq.to_mont(jnp.asarray(fq.encode_ints([1])))
-    for rj in r:
-        rj_m = fq.to_mont(jnp.asarray(fq.encode_ints([rj])))
-        hi = fq.mul(table, rj_m)
+    for j in range(ell):
+        hi = fq.mul(table, r_m[j][None])
         lo = fq.sub(table, hi)
         table = jnp.stack([lo, hi], axis=1).reshape(-1, 16)
     return table
+
+
+def bitrev_perm(ell: int) -> np.ndarray:
+    """perm[p] = bit-reversal of p within ell bits (host, cached).
+    Involution: a table T in normal layout satisfies
+    T_br = T[perm]; index vectors map as idx_br = perm[idx]."""
+    p = _bitrev_perm_cached(ell)
+    return p
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _bitrev_perm_cached(ell: int) -> np.ndarray:
+    idx = np.arange(1 << ell, dtype=np.int64)
+    out = np.zeros_like(idx)
+    for k in range(ell):
+        out = (out << 1) | ((idx >> k) & 1)
+    out.setflags(write=False)
+    return out
 
 
 def eq_evaluate(r: list[int], rx: list[int]) -> int:
@@ -95,9 +131,16 @@ def merge_pad(polys: list[jnp.ndarray]) -> jnp.ndarray:
 
 # -- host helpers -------------------------------------------------------------
 
-def from_ints(xs: list[int]) -> jnp.ndarray:
-    """Canonical ints -> Montgomery device table."""
-    return fq.to_mont(jnp.asarray(fq.encode_ints(xs)))
+def from_ints(xs: list[int], bitrev: bool = False) -> jnp.ndarray:
+    """Canonical ints -> Montgomery device table.  bitrev relayouts on
+    the host (fancy-index of the packed limb array) before upload."""
+    packed = fq.encode_ints(xs)
+    if bitrev:
+        n = len(xs)
+        ell = (n - 1).bit_length()
+        assert n == 1 << ell, "bitrev layout requires a power-of-two table"
+        packed = packed[bitrev_perm(ell)]
+    return fq.to_mont(jnp.asarray(packed))
 
 
 def to_ints(Z: jnp.ndarray) -> list[int]:

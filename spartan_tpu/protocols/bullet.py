@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import ristretto as hri
@@ -26,21 +28,63 @@ from ..utils.errors import ProofVerifyError
 _DEVICE_MIN = 256  # rounds smaller than this fold on host
 
 
-def _bcast_scalar(x: int, n: int) -> jnp.ndarray:
-    return jnp.broadcast_to(jnp.asarray(limb.int_to_limbs(x % Q)), (n, 16))
-
-
 def _mont(x: int) -> jnp.ndarray:
     return fq.to_mont(jnp.asarray(fq.encode_ints([x])))
-
-
-def _to_int(x: jnp.ndarray) -> int:
-    return fq.decode_to_ints(x[None])[0]
 
 
 def _expand(p: ded.PointArray) -> ded.PointArray:
     """() PointArray -> (1,) for to_host."""
     return ded.PointArray(*(c[None] for c in p))
+
+
+@jax.jit
+def _bullet_round_jit(a, b, G, qpt, hpt, blind_L, blind_R):
+    """One bullet round's transcript inputs, fully on device:
+    L = <a_L, G_R> + c_L*Q + blind_L*H,  R = <a_R, G_L> + c_R*Q +
+    blind_R*H, ristretto-compressed.  Returns (2, 32) uint32 bytes.
+    (bullet.rs:70-113; the fold to the half-size vectors happens in
+    _bullet_fold_jit once the challenge is known.)"""
+    from ..curve import ristretto as dri
+
+    n = a.shape[0] // 2
+    a_L, a_R = a[:n], a[n:]
+    b_L, b_R = b[:n], b[n:]
+    G_L = ded.PointArray(*(c[:n] for c in G))
+    G_R = ded.PointArray(*(c[n:] for c in G))
+
+    c_L = fq.from_mont(fq.dot_mod(a_L, b_R))  # canonical (16,)
+    c_R = fq.from_mont(fq.dot_mod(a_R, b_L))
+
+    L_main = ded.sum_reduce(ded.scalar_mul(G_R, fq.from_mont(a_L)))
+    R_main = ded.sum_reduce(ded.scalar_mul(G_L, fq.from_mont(a_R)))
+
+    def complete(main, c, blind):
+        cq = ded.scalar_mul(qpt, c[None])
+        bh = ded.scalar_mul(hpt, blind[None])
+        return ded.add(ded.add(main, ded.PointArray(*(x[0] for x in cq))),
+                       ded.PointArray(*(x[0] for x in bh)))
+
+    L = complete(L_main, c_L, blind_L)
+    R = complete(R_main, c_R, blind_R)
+    both = ded.PointArray(*(jnp.stack([lc, rc]) for lc, rc in zip(L, R)))
+    return dri.compress(both)  # (2, 16) s limbs
+
+
+@jax.jit
+def _bullet_fold_jit(a, b, G, um, uim):
+    """Fold to the half-size (a', b', G') given the round challenge
+    (bullet.rs:116-124)."""
+    n = a.shape[0] // 2
+    a_L, a_R = a[:n], a[n:]
+    b_L, b_R = b[:n], b[n:]
+    G_L = ded.PointArray(*(c[:n] for c in G))
+    G_R = ded.PointArray(*(c[n:] for c in G))
+    a2 = fq.add(fq.mul(a_L, um), fq.mul(a_R, uim))
+    b2 = fq.add(fq.mul(b_L, uim), fq.mul(b_R, um))
+    uim_c = fq.from_mont(jnp.broadcast_to(uim, (n, 16)))
+    um_c = fq.from_mont(jnp.broadcast_to(um, (n, 16)))
+    G2 = ded.add(ded.scalar_mul(G_L, uim_c), ded.scalar_mul(G_R, um_c))
+    return a2, b2, G2
 
 
 @dataclass
@@ -65,35 +109,28 @@ class BulletReductionProof:
         it = iter(blinds_vec)
 
         # --- device rounds -------------------------------------------------
+        # One fused executable + ONE 64-byte fetch per round: the L/R
+        # cross-term MSMs, the Q/H completion and the ristretto
+        # compression all run on device (a per-op round costs ~4 relay
+        # round-trips; the fold below is dispatched async while the
+        # host absorbs L,R and derives u).
+        qpt_d = ded.from_host([Q_pt])
+        hpt_d = ded.from_host([H])
         while n > 1 and n // 2 >= _DEVICE_MIN:
             n //= 2
-            a_L, a_R = a[:n], a[n:]
-            b_L, b_R = b[:n], b[n:]
-            G_L = ded.PointArray(*(c[:n] for c in G))
-            G_R = ded.PointArray(*(c[n:] for c in G))
-
-            c_L = _to_int(fq.dot_mod(a_L, b_R))
-            c_R = _to_int(fq.dot_mod(a_R, b_L))
             blind_L, blind_R = next(it)
-
-            L_main = ded.to_host(_expand(dmsm.msm(fq.from_mont(a_L), G_R)))[0]
-            L = L_main.add(Q_pt.mul(c_L)).add(H.mul(blind_L % Q))
-            R_main = ded.to_host(_expand(dmsm.msm(fq.from_mont(a_R), G_L)))[0]
-            R = R_main.add(Q_pt.mul(c_R)).add(H.mul(blind_R % Q))
-
-            Lb, Rb = hri.encode(L), hri.encode(R)
+            lr_s = _bullet_round_jit(
+                a, b, G, qpt_d, hpt_d,
+                jnp.asarray(limb.int_to_limbs(blind_L % Q)),
+                jnp.asarray(limb.int_to_limbs(blind_R % Q)))
+            lr = np.asarray(lr_s).astype("<u2")
+            Lb, Rb = lr[0].tobytes(), lr[1].tobytes()
             transcript.append_point(b"L", Lb)
             transcript.append_point(b"R", Rb)
             u = transcript.challenge_scalar(b"u")
             u_inv = pow(u, -1, Q)
 
-            um, uim = _mont(u), _mont(u_inv)
-            a = fq.add(fq.mul(a_L, um), fq.mul(a_R, uim))
-            b = fq.add(fq.mul(b_L, uim), fq.mul(b_R, um))
-            G = ded.add(
-                ded.scalar_mul(G_L, _bcast_scalar(u_inv, n)),
-                ded.scalar_mul(G_R, _bcast_scalar(u, n)),
-            )
+            a, b, G = _bullet_fold_jit(a, b, G, _mont(u), _mont(u_inv))
             blind_fin = (blind_fin + blind_L * u * u + blind_R * u_inv * u_inv) % Q
             L_vec.append(Lb)
             R_vec.append(Rb)

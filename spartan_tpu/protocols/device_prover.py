@@ -129,7 +129,10 @@ def _evals_live(tables: list, which: str, half):
     idx = jnp.arange(N, dtype=jnp.int32)
     mask = (idx < half)[:, None].astype(jnp.uint32)
     lo = [T * mask for T in tables]
-    hi = [jnp.take(T, (idx + half) % N, axis=0) * mask for T in tables]
+    # T[(i+half) % N] == roll(T, -half): a dynamic-slice shift running at
+    # HBM bandwidth, vs a 2^20-element gather at ~10 M elem/s on TPU
+    # (measured 1.38 s/round with take vs ~1 ms with roll at 2^20)
+    hi = [jnp.roll(T, -half, axis=0) * mask for T in tables]
 
     if which == "cubic":
         def comb(a, b, c, d):
@@ -158,7 +161,7 @@ def _fold_live(tables: list, r: jnp.ndarray, half):
     out = []
     for T in tables:
         lo = T
-        hi = jnp.take(T, (idx + half) % N, axis=0)
+        hi = jnp.roll(T, -half, axis=0)  # T[(i+half) % N], see _evals_live
         out.append(fq.add(lo, fq.mul(r, fq.sub(hi, lo))) * mask)
     return out
 

@@ -101,7 +101,8 @@ class DotProductProofLog:
     def verify(self, n: int, gens: DotProductProofGens,
                transcript: Transcript, a: list[int],
                Cx: bytes, Cy: bytes) -> None:
-        assert gens.n == n and len(a) == n
+        if gens.n != n or len(a) != n:
+            raise ProofVerifyError("dot product (log): dimension mismatch")
         transcript.append_protocol_name(DotProductProofLog.PROTOCOL)
         transcript.append_point(b"Cx", Cx)
         transcript.append_point(b"Cy", Cy)

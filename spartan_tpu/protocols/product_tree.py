@@ -55,6 +55,63 @@ def _bound_var_top_batched(Z: jnp.ndarray, r_m: jnp.ndarray) -> jnp.ndarray:
     return fq.add(lo, fq.mul(r_m, fq.sub(hi, lo)))
 
 
+def _fuse_rounds() -> bool:
+    """Whole-round fused executables (_step3/_evals3_stacked) pay off on
+    the tunneled TPU backend — one dispatch + one fetch per round.  On
+    the CPU backend the same fused graphs explode LLVM (tens of minutes
+    and ~20 GB per shape), so rounds there run the identical math as a
+    chain of small cached executables.  Proof bytes are unaffected.
+    SPARTAN_TPU_FUSE_ROUNDS=0/1 overrides."""
+    import os
+
+    v = os.environ.get("SPARTAN_TPU_FUSE_ROUNDS")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() != "cpu"
+
+
+@jax.jit
+def _evals3_stacked_jit(A, Bt, C):
+    return jnp.stack(_evals_cubic_batched(A, Bt, C), axis=0)
+
+
+def _evals3_stacked(A, Bt, C):
+    """Round evals as ONE (3, B, 16) array — a single device->host
+    fetch per round instead of three (each fetch is a full relay
+    round-trip on the tunneled TPU backend)."""
+    if _fuse_rounds():
+        return _evals3_stacked_jit(A, Bt, C)
+    return jnp.stack(_evals_cubic_batched(A, Bt, C), axis=0)
+
+
+@jax.jit
+def _step3_jit(A, Bt, C, r_m):
+    A2 = _bound_var_top_batched(A, r_m)
+    Bt2 = _bound_var_top_batched(Bt, r_m)
+    C2 = _bound_var_top_batched(C, r_m)
+    return A2, Bt2, C2, jnp.stack(_evals_cubic_batched(A2, Bt2, C2), axis=0)
+
+
+def _step3(A, Bt, C, r_m):
+    """Fused fold + next-round evals (one dispatch per round)."""
+    if _fuse_rounds():
+        return _step3_jit(A, Bt, C, r_m)
+    A2, Bt2, C2 = _fold3(A, Bt, C, r_m)
+    return A2, Bt2, C2, _evals3_stacked(A2, Bt2, C2)
+
+
+def _fold3(A, Bt, C, r_m):
+    return (_bound_var_top_batched(A, r_m), _bound_var_top_batched(Bt, r_m),
+            _bound_var_top_batched(C, r_m))
+
+
+def _decode3(ev: jnp.ndarray) -> tuple[list[int], list[int], list[int]]:
+    """(3, B, 16) -> three length-B int lists with one fetch."""
+    b = ev.shape[1]
+    flat = fq.decode_to_ints(ev.reshape(3 * b, 16))
+    return flat[:b], flat[b : 2 * b], flat[2 * b :]
+
+
 class ProductCircuitBatch:
     """B binary product trees over (B, n) leaf tables
     (product_tree.rs:12-64, instance-batched)."""
@@ -125,10 +182,15 @@ class ProductCircuitEvalProofBatched:
             assert C_par.shape[0] == m
             num_rounds = m.bit_length() - 1
 
-            seq_tables = None
-            if layer_id == 0 and dotp is not None:
+            # The par set's eq-table C and the seq (dotp) set's weight
+            # table have the same per-instance length at layer 0, so
+            # both sets concatenate along the INSTANCE axis and the
+            # whole layer runs as one batched kernel: one dispatch +
+            # one fetch per round (sumcheck.rs's par/seq split done
+            # data-parallel instead of as two loops).
+            has_seq = layer_id == 0 and dotp is not None
+            if has_seq:
                 claims_to_verify = claims_to_verify + dotp.evaluate()
-                seq_tables = [dotp.left, dotp.right, dotp.weight]
 
             coeffs = transcript.challenge_vector(
                 b"rand_coeffs_next_layer", len(claims_to_verify))
@@ -136,16 +198,16 @@ class ProductCircuitEvalProofBatched:
 
             # broadcast C across the par batch once per layer
             C_b = jnp.broadcast_to(C_par[None], A.shape)
+            if has_seq:
+                A = jnp.concatenate([A, dotp.left], axis=0)
+                Bt = jnp.concatenate([Bt, dotp.right], axis=0)
+                C_b = jnp.concatenate([C_b, dotp.weight], axis=0)
             compressed = []
             e = claim
             r_round: list[int] = []
-            for _ in range(num_rounds):
-                e0v, e2v, e3v = (_to_ints(x) for x in
-                                 _evals_cubic_batched(A, Bt, C_b))
-                if seq_tables is not None:
-                    s0, s2, s3 = (_to_ints(x) for x in _evals_cubic_batched(
-                        seq_tables[0], seq_tables[1], seq_tables[2]))
-                    e0v, e2v, e3v = e0v + s0, e2v + s2, e3v + s3
+            ev = _evals3_stacked(A, Bt, C_b) if num_rounds else None
+            for k in range(num_rounds):
+                e0v, e2v, e3v = _decode3(ev)
                 e0 = sum(c * v for c, v in zip(coeffs, e0v)) % Q
                 e2 = sum(c * v for c, v in zip(coeffs, e2v)) % Q
                 e3 = sum(c * v for c, v in zip(coeffs, e3v)) % Q
@@ -154,25 +216,27 @@ class ProductCircuitEvalProofBatched:
                 r_j = transcript.challenge_scalar(b"challenge_nextround")
                 r_round.append(r_j)
                 rm = _r_mont(r_j)
-                A = _bound_var_top_batched(A, rm)
-                Bt = _bound_var_top_batched(Bt, rm)
-                C_b = _bound_var_top_batched(C_b, rm)
-                if seq_tables is not None:
-                    seq_tables = [_bound_var_top_batched(T, rm)
-                                  for T in seq_tables]
+                if k + 1 < num_rounds:
+                    A, Bt, C_b, ev = _step3(A, Bt, C_b, rm)
+                else:
+                    A, Bt, C_b = _fold3(A, Bt, C_b, rm)
                 e = poly.evaluate(r_j)
                 compressed.append(poly.compress())
 
-            claims_prod_left = _to_ints(A[:, 0])
-            claims_prod_right = _to_ints(Bt[:, 0])
+            # all end-of-layer claims in ONE fetch
+            finals = fq.decode_to_ints(jnp.concatenate(
+                [A[:, 0], Bt[:, 0], C_b[num_prod:, 0]], axis=0))
+            ntot = A.shape[0]
+            claims_prod_left = finals[:num_prod]
+            claims_prod_right = finals[ntot : ntot + num_prod]
             for i in range(num_prod):
                 transcript.append_scalar(b"claim_prod_left", claims_prod_left[i])
                 transcript.append_scalar(b"claim_prod_right", claims_prod_right[i])
 
-            if layer_id == 0 and dotp is not None:
-                dl = _to_ints(seq_tables[0][:, 0])
-                dr = _to_ints(seq_tables[1][:, 0])
-                dw = _to_ints(seq_tables[2][:, 0])
+            if has_seq:
+                dl = finals[num_prod:ntot]
+                dr = finals[ntot + num_prod : 2 * ntot]
+                dw = finals[2 * ntot :]
                 for i in range(len(dl)):
                     transcript.append_scalar(b"claim_dotp_left", dl[i])
                     transcript.append_scalar(b"claim_dotp_right", dr[i])

@@ -240,7 +240,8 @@ class DotProductProof:
 
     def verify(self, gens_1: MultiCommitGens, gens_n: MultiCommitGens,
                transcript: Transcript, a: list, Cx: bytes, Cy: bytes) -> None:
-        assert gens_n.n == len(a) and gens_1.n == 1
+        if gens_n.n != len(a) or gens_1.n != 1:
+            raise ProofVerifyError("dot product proof: dimension mismatch")
         transcript.append_protocol_name(DotProductProof.PROTOCOL)
         transcript.append_point(b"Cx", Cx)
         transcript.append_point(b"Cy", Cy)

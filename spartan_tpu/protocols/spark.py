@@ -488,19 +488,28 @@ class HashLayerProof:
         transcript.append_protocol_name(HashLayerProof.PROTOCOL)
         rand_mem, rand_ops = rand
 
-        eval_row_ops_val = _evaluate_batched(derefs.row_ops_val, rand_ops)
-        eval_col_ops_val = _evaluate_batched(derefs.col_ops_val, rand_ops)
+        # ALL ops-point evaluations in one kernel + one fetch (every
+        # separate fetch is a relay round-trip), then the two mem-point
+        # (audit) evaluations in a second one.
+        groups = [derefs.row_ops_val, derefs.col_ops_val,
+                  dense_rep.row.ops_addr, dense_rep.row.read_ts,
+                  dense_rep.col.ops_addr, dense_rep.col.read_ts,
+                  dense_rep.val]
+        all_ops = _evaluate_batched(jnp.concatenate(groups, axis=0), rand_ops)
+        sizes = [g.shape[0] for g in groups]
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        (eval_row_ops_val, eval_col_ops_val, eval_row_addr,
+         eval_row_read_ts, eval_col_addr, eval_col_read_ts, eval_val) = (
+            all_ops[offs[i] : offs[i + 1]] for i in range(7))
+        eval_row_audit_ts, eval_col_audit_ts = _evaluate_batched(
+            jnp.stack([dense_rep.row.audit_ts, dense_rep.col.audit_ts]),
+            rand_mem)
+
         proof_derefs = DerefsEvalProof.prove(
             derefs, eval_row_ops_val, eval_col_ops_val, rand_ops,
             gens.gens_derefs, transcript, tape)
-
-        eval_row_addr = _evaluate_batched(dense_rep.row.ops_addr, rand_ops)
-        eval_row_read_ts = _evaluate_batched(dense_rep.row.read_ts, rand_ops)
-        eval_row_audit_ts = dense.evaluate(dense_rep.row.audit_ts, rand_mem)
-        eval_col_addr = _evaluate_batched(dense_rep.col.ops_addr, rand_ops)
-        eval_col_read_ts = _evaluate_batched(dense_rep.col.read_ts, rand_ops)
-        eval_col_audit_ts = dense.evaluate(dense_rep.col.audit_ts, rand_mem)
-        eval_val = _evaluate_batched(dense_rep.val, rand_ops)
 
         evals_ops = (list(eval_row_addr) + list(eval_row_read_ts)
                      + list(eval_col_addr) + list(eval_col_read_ts)
@@ -698,7 +707,8 @@ class PolyEvalNetworkProof:
         r_hash, r_ms = r_mem_check
         num_ops = _next_pow2(nz)
         num_cells = 1 << len(rx)
-        assert len(rx) == len(ry)
+        if len(rx) != len(ry):
+            raise ProofVerifyError("eval network: unequal rx/ry")
 
         claims_mem, rand_mem, claims_ops, claims_dotp, rand_ops = (
             self.proof_prod_layer.verify(num_ops, num_cells, evals, transcript))

@@ -85,6 +85,126 @@ def _r_mont(r: int) -> jnp.ndarray:
     return fq.to_mont(jnp.asarray(fq.encode_ints([r])))
 
 
+def _use_stable_rounds() -> bool:
+    """Shape-stable host-path rounds over BIT-REVERSED tables: arrays
+    keep their full padded shape all phase, so a phase costs TWO small
+    XLA compiles (evals-only + fused step) instead of log(n) per-size
+    ones.  The axon TPU backend cannot persist compiled executables
+    across processes, so per-process compile cost is a first-class
+    constraint; on by default off-CPU.
+    SPARTAN_TPU_STABLE_ROUNDS=0/1 overrides."""
+    import os
+
+    v = os.environ.get("SPARTAN_TPU_STABLE_ROUNDS", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() != "cpu"
+
+
+def stable_layout_active() -> bool:
+    """True when R1CSProof should build its sumcheck tables in
+    bit-reversed layout for the shape-stable round path.  Must be
+    decided once, before table construction: the device-resident
+    prover, the sharded mesh path, and the CPU halving path all expect
+    normal layout."""
+    from ..parallel import context as pctx
+
+    return (_use_stable_rounds() and not _use_device_prover()
+            and pctx.get_mesh() is None)
+
+
+# -- bit-reversed-layout round kernels --------------------------------------
+#
+# With the table stored at bit-reversed logical indices, binding the TOP
+# sumcheck variable pairs *adjacent* elements: lo = T[2k], hi = T[2k+1].
+# Rounds become pure reshape + elementwise ops — no gather, no
+# dynamic-shift roll (a traced-shift jnp.roll lowers to a gather that
+# runs ~10 M rows/s on TPU; measured 2.99 s per 2^21 round vs ~ms for
+# the streaming form).  The dead upper region stays exactly zero (zero
+# folds to zero; zero contributes comb(...)=0 to every eval), so no
+# live-length mask is needed and ONE executable serves every round of a
+# phase.  The layout itself is free: eq tables are built with reversed
+# tau order and SpMV scatter/gather index vectors are bit-reversed on
+# the host (see r1cs/shape.py, poly/dense.py).
+
+def _pairs(T: jnp.ndarray):
+    N = T.shape[0]
+    T2 = T.reshape(N // 2, 2, T.shape[-1])
+    return T2[:, 0, :], T2[:, 1, :]
+
+
+def _evals_br(tables, which: str):
+    lo, hi = zip(*(_pairs(T) for T in tables))
+
+    if which == "cubic":
+        def comb(a, b, c, d):
+            return fq.mul(a, fq.sub(fq.mul(b, c), d))
+    else:
+        def comb(a, b):
+            return fq.mul(a, b)
+
+    e0 = fq.sum_mod(comb(*lo))
+    p2 = [fq.sub(fq.add(h, h), l) for h, l in zip(hi, lo)]
+    e2 = fq.sum_mod(comb(*p2))
+    if which != "cubic":
+        return [e0, e2]
+    p3 = [fq.add(x2, fq.sub(h, l)) for x2, h, l in zip(p2, hi, lo)]
+    e3 = fq.sum_mod(comb(*p3))
+    return [e0, e2, e3]
+
+
+def _fold_br(tables, r: jnp.ndarray):
+    """new[k] = T[2k] + r*(T[2k+1] - T[2k]), zero-padded back to N."""
+    out = []
+    for T in tables:
+        lo, hi = _pairs(T)
+        f = fq.add(lo, fq.mul(r, fq.sub(hi, lo)))
+        out.append(jnp.concatenate([f, jnp.zeros_like(f)], axis=0))
+    return out
+
+
+@partial(jax.jit, static_argnames=("which",))
+def _evals_br_jit(tables, which: str):
+    return jnp.stack(_evals_br(list(tables), which), axis=0)
+
+
+# Tier schedule for the stable rounds: tables keep a padded power-of-two
+# shape for ~log2(factor) rounds, then physically shrink.  Full-size
+# stable shapes would pay num_rounds full-table passes per phase
+# (~20x the halving path's traffic at 2^20); an 8x tier factor cuts
+# that to ~3.5 passes for the cost of ~2 extra (tiny-graph) compiles.
+# The floor avoids compiling executables for sizes whose round cost is
+# already trivial.
+_TIER_FACTOR = 8
+_TIER_FLOOR = 1 << 14
+
+
+def _maybe_shrink(tables, live: int):
+    """Slice the padded tables down a tier once the live region is at
+    most 1/_TIER_FACTOR of the current shape.  Beyond `live` the tables
+    are exactly zero (zero folds to zero and contributes nothing to the
+    evals), so slicing never drops data."""
+    cur = tables[0].shape[0]
+    if cur <= _TIER_FLOOR or live > cur // _TIER_FACTOR:
+        return tables
+    new = max(_TIER_FLOOR, max(live, 2))
+    return tuple(T[:new] for T in tables)
+
+
+@partial(jax.jit, static_argnames=("which",))
+def _step_br(tables, r_m, which: str):
+    """Fused fold + next-round evals, fixed shapes: ONE executable
+    serves every round of a phase."""
+    folded = _fold_br(list(tables), r_m)
+    es = jnp.stack(_evals_br(folded, which), axis=0)
+    return tuple(folded), es
+
+
+@jax.jit
+def _fold_br_jit(tables, r_m):
+    return tuple(_fold_br(list(tables), r_m))
+
+
 # ---------------------------------------------------------------------------
 # Device round kernels
 # ---------------------------------------------------------------------------
@@ -211,7 +331,7 @@ class ZKSumcheckInstanceProof:
                       tables: list[jnp.ndarray], evals_fn, degree: int,
                       gens_1: MultiCommitGens, gens_n: MultiCommitGens,
                       transcript: Transcript, tape: RandomTape,
-                      which: str | None = None):
+                      which: str | None = None, layout: str | None = None):
         """Shared round loop for prove_quad / prove_cubic_with_additive_term
         (identical structure, sumcheck.rs:428-586 vs 588-776).
 
@@ -226,7 +346,8 @@ class ZKSumcheckInstanceProof:
 
         mesh = pctx.get_mesh()
         mgr = None
-        if mesh is not None and which is not None:
+        stable = layout == "br"  # caller built bit-reversed tables
+        if mesh is not None and which is not None and not stable:
             from ..parallel.mesh import ShardedSumcheckTables
 
             mgr = ShardedSumcheckTables(mesh, tables, which)
@@ -242,7 +363,14 @@ class ZKSumcheckInstanceProof:
         comm_evals: list[bytes] = []
         proofs: list[DotProductProof] = []
 
-        es_dev = mgr.evals() if mgr else jnp.stack(list(evals_fn(*tables)), axis=0)
+        if mgr is not None:
+            es_dev = mgr.evals()
+        elif stable:
+            tables = tuple(tables)
+            live = tables[0].shape[0]
+            es_dev = _evals_br_jit(tables, which)
+        else:
+            es_dev = jnp.stack(list(evals_fn(*tables)), axis=0)
         for j in range(num_rounds):
             es = fq.decode_to_ints(es_dev)
             e0 = es[0]
@@ -260,6 +388,13 @@ class ZKSumcheckInstanceProof:
                     es_dev = mgr.fold_evals(rm)
                 else:
                     mgr.fold(rm)
+            elif stable:
+                if j + 1 < num_rounds:
+                    tables, es_dev = _step_br(tables, rm, which)
+                    live //= 2  # post-fold live prefix of the new tables
+                    tables = _maybe_shrink(tables, live)
+                else:
+                    tables = _fold_br_jit(tables, rm)
             elif which is not None and j + 1 < num_rounds:
                 tables, es_dev = _fold_then_evals(tables, rm, which)
             else:
@@ -307,8 +442,9 @@ class ZKSumcheckInstanceProof:
     def prove_quad(claim: int, blind_claim: int, num_rounds: int,
                    poly_A: jnp.ndarray, poly_B: jnp.ndarray,
                    gens_1: MultiCommitGens, gens_n: MultiCommitGens,
-                   transcript: Transcript, tape: RandomTape):
-        if _use_device_prover():
+                   transcript: Transcript, tape: RandomTape,
+                   layout: str | None = None):
+        if layout is None and _use_device_prover():
             from .device_prover import zk_sumcheck_phase_device
 
             return zk_sumcheck_phase_device(
@@ -316,15 +452,17 @@ class ZKSumcheckInstanceProof:
                 "quad", gens_1, gens_n, transcript, tape)
         return ZKSumcheckInstanceProof._prove_rounds(
             claim, blind_claim, num_rounds, [poly_A, poly_B],
-            _evals_quad, 2, gens_1, gens_n, transcript, tape, which="quad")
+            _evals_quad, 2, gens_1, gens_n, transcript, tape, which="quad",
+            layout=layout)
 
     @staticmethod
     def prove_cubic_with_additive_term(
             claim: int, blind_claim: int, num_rounds: int,
             poly_A, poly_B, poly_C, poly_D,
             gens_1: MultiCommitGens, gens_n: MultiCommitGens,
-            transcript: Transcript, tape: RandomTape):
-        if _use_device_prover():
+            transcript: Transcript, tape: RandomTape,
+            layout: str | None = None):
+        if layout is None and _use_device_prover():
             from .device_prover import zk_sumcheck_phase_device
 
             return zk_sumcheck_phase_device(
@@ -334,4 +472,4 @@ class ZKSumcheckInstanceProof:
         return ZKSumcheckInstanceProof._prove_rounds(
             claim, blind_claim, num_rounds, [poly_A, poly_B, poly_C, poly_D],
             _evals_cubic_additive, 3, gens_1, gens_n, transcript, tape,
-            which="cubic")
+            which="cubic", layout=layout)

@@ -88,18 +88,27 @@ class R1CSProof:
             list(vars_ints) + [1] + list(input_ints)
             + [0] * (num_vars - num_inputs - 1)
         )
-        z = dense.from_ints(z_ints)
+        # Shape-stable rounds run over BIT-REVERSED tables (adjacent-pair
+        # folding, see sumcheck.py::_evals_br).  The layout is free: eq
+        # tables consume tau in reverse, SpMV index vectors are
+        # bit-reversed on the host, and z is relayouted before upload.
+        from ..protocols.sumcheck import stable_layout_active
+
+        use_br = stable_layout_active()
+        layout = "br" if use_br else None
+        z = dense.from_ints(z_ints, bitrev=use_br)
 
         num_rounds_x = _log2(inst.num_cons)
         num_rounds_y = _log2(len(z_ints))
         tau = transcript.challenge_vector(b"challenge_tau", num_rounds_x)
-        poly_tau = dense.eq_evals(tau)
-        poly_Az, poly_Bz, poly_Cz = inst.multiply_vec(z)
+        poly_tau = dense.eq_evals(tau, bitrev=use_br)
+        poly_Az, poly_Bz, poly_Cz = inst.multiply_vec(z, bitrev=use_br)
 
         (sc_proof_phase1, rx, claims_phase1, blind_claim_postsc1) = (
             ZKSumcheckInstanceProof.prove_cubic_with_additive_term(
                 0, 0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz,
-                gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript, tape))
+                gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript, tape,
+                layout=layout))
         tau_claim, Az_claim, Bz_claim, Cz_claim = claims_phase1
         t_sc1.stop()
 
@@ -139,9 +148,9 @@ class R1CSProof:
         blind_claim_phase2 = (
             r_A * Az_blind + r_B * Bz_blind + r_C * Cz_blind) % Q
 
-        evals_rx = dense.eq_evals(rx)
+        evals_rx = dense.eq_evals(rx)  # normal layout: SpMV gather input
         evals_A, evals_B, evals_C = inst.compute_eval_table_sparse(
-            evals_rx, len(z_ints))
+            evals_rx, len(z_ints), bitrev=use_br)
         rA_m, rB_m, rC_m = (dense.from_ints([x]) for x in (r_A, r_B, r_C))
         evals_ABC = fq.add(
             fq.add(fq.mul(evals_A, rA_m), fq.mul(evals_B, rB_m)),
@@ -151,7 +160,8 @@ class R1CSProof:
             ZKSumcheckInstanceProof.prove_quad(
                 claim_phase2, blind_claim_phase2, num_rounds_y,
                 z, evals_ABC,
-                gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript, tape))
+                gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript, tape,
+                layout=layout))
         t_sc2.stop()
 
         t_pe = Timer("polyeval")

@@ -18,6 +18,13 @@ if "host_platform_device_count" not in flags:
 # the experimental axon plugin can import jax before pytest does.
 import jax
 
+# The env's axon plugin imports jax at interpreter start (sitecustomize),
+# so JAX_PLATFORMS=axon is already baked into the config default by the
+# time this file runs — the os.environ write above is too late on such
+# boxes.  config.update wins either way; without it a test run tries to
+# initialize the TPU tunnel and hangs/fails when the pool is busy.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

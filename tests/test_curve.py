@@ -127,3 +127,42 @@ def test_msm_rows_vs_per_row():
     got = ed.to_host(msm_mod.msm_rows(s, d, c=8))
     for j in range(L):
         assert hri.encode(got[j]) == _host_msm(ks[j], pts), f"row {j}"
+
+
+def test_msm_win_t_vs_host():
+    """Transposed-layout (limb-first) windowed MSM vs host oracle."""
+    L, R = 2, 4
+    pts = rand_points(R)
+    gens = ed.from_host(pts)
+    ks = rand_scalars(L * R)
+    scal = jnp.asarray(limb.ints_to_limbs(ks)).reshape(L, R, 16)
+    got = ed.to_host(msm_mod._msm_rows_win_t_jit(scal, gens))
+    for j in range(L):
+        assert hri.encode(got[j]) == _host_msm(ks[j * R:(j + 1) * R], pts), \
+            f"row {j}"
+
+
+def test_msm_chunked_equality(monkeypatch):
+    """Row-chunked and single-launch MSMs must agree (same group
+    elements; compare compressed bytes)."""
+    L, R = 8, 32
+    pts = rand_points(R)
+    gens = ed.from_host(pts)
+    scal = jnp.asarray(
+        limb.ints_to_limbs(rand_scalars(L * R))).reshape(L, R, 16)
+
+    monkeypatch.setenv("SPARTAN_TPU_MSM_CHUNK", "20")  # no chunking
+    want = dri.compress_to_bytes(msm_mod.msm_rows(scal, gens, c=4))
+    monkeypatch.setenv("SPARTAN_TPU_MSM_CHUNK", "6")   # 64-pt launches
+    got = dri.compress_to_bytes(msm_mod.msm_rows(scal, gens, c=4))
+    assert got == want
+
+    flat = scal.reshape(L * R, 16)
+    tiled = ed.PointArray(*(jnp.tile(c, (L, 1)) for c in gens))
+    monkeypatch.setenv("SPARTAN_TPU_MSM_CHUNK", "20")
+    w1 = dri.compress_to_bytes(
+        ed.PointArray(*(c[None] for c in msm_mod.msm(flat, tiled, c=4))))
+    monkeypatch.setenv("SPARTAN_TPU_MSM_CHUNK", "6")
+    g1 = dri.compress_to_bytes(
+        ed.PointArray(*(c[None] for c in msm_mod.msm(flat, tiled, c=4))))
+    assert g1 == w1

@@ -50,6 +50,58 @@ def test_synthetic_r1cs_sat():
     assert inst.is_sat(vars_i, inputs_i)
 
 
+def test_stable_rounds_byte_parity(monkeypatch):
+    """Shape-stable (live-length-masked) host rounds must emit the same
+    proof bytes as the per-size halving path."""
+    from spartan_tpu import serialize as ser
+    from spartan_tpu.api import NIZK, NIZKGens, Instance
+
+    n = 64
+    inst, vars_a, inputs_a = Instance.produce_synthetic_r1cs(
+        n, n, 3, seed=71)
+    gens = NIZKGens(n, n, 3)
+
+    monkeypatch.setenv("SPARTAN_TPU_DEVICE_PROVER", "0")
+    monkeypatch.setenv("SPARTAN_TPU_STABLE_ROUNDS", "0")
+    halving = ser.nizk_to_bytes(NIZK.prove(
+        inst, vars_a, inputs_a, gens, Transcript(b"sr64"), _tape_seed=19))
+
+    monkeypatch.setenv("SPARTAN_TPU_STABLE_ROUNDS", "1")
+    stable = ser.nizk_to_bytes(NIZK.prove(
+        inst, vars_a, inputs_a, gens, Transcript(b"sr64"), _tape_seed=19))
+
+    assert stable == halving
+    ser.nizk_from_bytes(stable).verify(
+        inst, inputs_a, Transcript(b"sr64"), gens)
+
+
+def test_stable_rounds_tiered_byte_parity(monkeypatch):
+    """With an aggressive tier schedule (floor 4), the shape-shrinking
+    stable rounds must still emit identical proof bytes."""
+    from spartan_tpu import serialize as ser
+    from spartan_tpu.api import NIZK, NIZKGens, Instance
+    from spartan_tpu.protocols import sumcheck as sc
+
+    n = 64
+    inst, vars_a, inputs_a = Instance.produce_synthetic_r1cs(
+        n, n, 3, seed=72)
+    gens = NIZKGens(n, n, 3)
+
+    monkeypatch.setenv("SPARTAN_TPU_DEVICE_PROVER", "0")
+    monkeypatch.setenv("SPARTAN_TPU_STABLE_ROUNDS", "0")
+    halving = ser.nizk_to_bytes(NIZK.prove(
+        inst, vars_a, inputs_a, gens, Transcript(b"tier64"), _tape_seed=23))
+
+    monkeypatch.setenv("SPARTAN_TPU_STABLE_ROUNDS", "1")
+    monkeypatch.setattr(sc, "_TIER_FLOOR", 4)
+    tiered = ser.nizk_to_bytes(NIZK.prove(
+        inst, vars_a, inputs_a, gens, Transcript(b"tier64"), _tape_seed=23))
+
+    assert tiered == halving
+    ser.nizk_from_bytes(tiered).verify(
+        inst, inputs_a, Transcript(b"tier64"), gens)
+
+
 def test_spmv_overflow_guard():
     """An adversarial matrix with >= 2^16 entries hitting one output
     cell must be rejected at construction (the per-limb uint32
