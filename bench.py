@@ -17,6 +17,8 @@ Usage: python bench.py [--n LOG2N] [--reps N] [--msm]
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -115,6 +117,24 @@ def bench_msm(args):
     }))
 
 
+def _tpu_reachable() -> bool:
+    """Probe the axon TPU tunnel in a SUBPROCESS with a hard timeout:
+    when the experimental relay is down, axon backend init retries for
+    ~25 minutes, which would read as a bench timeout.  A failed probe
+    downgrades this process to the CPU backend (honest, labeled
+    fallback number instead of no number)."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() != 'cpu'"],
+            timeout=300, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=None, help="log2 instance size")
@@ -123,11 +143,19 @@ def main():
     ap.add_argument("--msm", action="store_true",
                     help="MSM microbench instead of NIZK::prove")
     args = ap.parse_args()
+    on_tpu = _tpu_reachable()
+    if not on_tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        # the axon sitecustomize imports jax at interpreter start, so
+        # the env var alone is too late — config.update wins either way
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.msm:
-        args.n = args.n if args.n is not None else 14
+        args.n = args.n if args.n is not None else (14 if on_tpu else 10)
         bench_msm(args)
     else:
-        args.n = args.n if args.n is not None else 20
+        args.n = args.n if args.n is not None else (20 if on_tpu else 10)
         bench_nizk_prove(args)
 
 

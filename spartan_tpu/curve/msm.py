@@ -358,18 +358,63 @@ def _msm_rows_win_t_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
 
 
 @jax.jit
+def _scalar_mul_flat_jit(gens: PointArray, scalars: jnp.ndarray) -> PointArray:
+    """(N,) points x (N, 16) scalars -> (N,) products.  The one
+    LLVM-expensive module of the naive path (a 256-step add+double scan
+    body): jitted standalone on a FLAT power-of-two shape so every
+    caller/layout with the same total size shares one executable —
+    local CPU LLVM pays minutes per distinct shape, so the shape
+    surface is deliberately one-dimensional."""
+    return ed.scalar_mul(gens, scalars)
+
+
+_FLAT_FLOOR = 1 << 10  # all smaller ladder launches share ONE module
+
+
+def scalar_mul_padded(gens: PointArray, scalars: jnp.ndarray) -> PointArray:
+    """Batched scalar-mul through the shared flat ladder module, with
+    the flat axis padded to max(next_pow2(N), 2^10): every launch below
+    the floor reuses one compiled executable (identity points / zero
+    scalars pad; the extra lanes are noise next to a compile)."""
+    n = scalars.shape[0]
+    n2 = max(1 << max((n - 1).bit_length(), 0), _FLAT_FLOOR)
+    if n2 == n:
+        return _scalar_mul_flat_jit(gens, scalars)
+    scal = jnp.concatenate(
+        [scalars, jnp.zeros((n2 - n, 16), dtype=scalars.dtype)], axis=0)
+    pad = ed.identity((n2 - n,))
+    gens2 = PointArray(*(
+        jnp.concatenate([gc, pc], axis=0) for gc, pc in zip(gens, pad)))
+    out = _scalar_mul_flat_jit(gens2, scal)
+    return PointArray(*(c[:n] for c in out))
+
+
+@jax.jit
+def _sum_rows_masked_jit(pts: PointArray) -> PointArray:
+    """Tree-sum along axis 1 via the masked roll/select fori_loop: ONE
+    point-add instance regardless of R (vs log2(R) inlined adds for the
+    halving-slice tree), so the module compiles in seconds on CPU."""
+    return _sum_points_axis1_masked(pts, pts.x.shape[1])
+
+
 def _msm_rows_naive_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
     """out[l] = sum_i scalars[l,i] * gens[i] via one batched 256-step
-    double-and-add ladder + halving tree row-sum.  ~4x the point-op
-    LANES of the windowed kernel, but the whole graph is one add+double
-    instance inside a lax.scan — it compiles in seconds where the
-    windowed/Pippenger graphs cost the CPU backend tens of minutes and
-    tens of GB of LLVM state per shape.  The CPU-backend default
-    (tests/dev); results are identical group elements."""
+    double-and-add ladder + tree row-sum.  ~4x the point-op LANES of
+    the windowed kernel, but only two small compiled modules — the flat
+    ladder (shared across all (L, R) splits of the same total) and a
+    row-sum — where the windowed/Pippenger graphs cost the CPU backend
+    tens of minutes and tens of GB of LLVM state per shape.  The
+    CPU-backend default (tests/dev); results are identical group
+    elements."""
     L, R, _ = scalars.shape
-    gens_b = PointArray(*(jnp.broadcast_to(c[None], (L, R, limb.NLIMBS))
-                          for c in gens))
-    prods = ed.scalar_mul(gens_b, scalars)   # (L, R)
+    gens_b = PointArray(*(
+        jnp.broadcast_to(c[None], (L, R, limb.NLIMBS)).reshape(
+            L * R, limb.NLIMBS)
+        for c in gens))
+    flat = scalar_mul_padded(gens_b, scalars.reshape(L * R, 16))
+    prods = PointArray(*(c.reshape(L, R, limb.NLIMBS) for c in flat))
+    if jax.default_backend() == "cpu":
+        return _sum_rows_masked_jit(prods)
     return _tree_sum_rows(prods)
 
 
@@ -553,8 +598,9 @@ def _msm_rows_jit(flat, tiled, c, L):
 
 
 def msm_naive(scalars: jnp.ndarray, points: PointArray) -> PointArray:
-    """Oracle MSM: per-point scalar_mul then tree-sum."""
-    prods = ed.scalar_mul(points, scalars)
+    """Oracle MSM: per-point scalar_mul then tree-sum.  Routed through
+    the shared padded flat ladder module (one executable)."""
+    prods = scalar_mul_padded(points, scalars)
     return ed.sum_reduce(prods, axis=0)
 
 

@@ -50,11 +50,28 @@ def compress(p: PointArray) -> jnp.ndarray:
     return s
 
 
+_COMPRESS_FLOOR = 1 << 7
+
+
 def compress_to_bytes(p: PointArray) -> list[bytes]:
-    """Batch compress and serialize (host boundary, for transcripts)."""
-    s = np.asarray(compress(p))
-    flat = s.reshape(-1, s.shape[-1]).astype("<u2")
-    return [row.tobytes() for row in flat]
+    """Batch compress and serialize (host boundary, for transcripts).
+
+    The batch is flattened and padded with identity points to
+    max(next_pow2, 2^7) so every call shares a handful of compiled
+    ``compress`` modules — the prover calls this at dozens of distinct
+    batch sizes, and each distinct shape is otherwise its own
+    ~10 s-to-minutes XLA/LLVM compile."""
+    from . import edwards as dev_ed
+
+    flat = PointArray(*(c.reshape(-1, c.shape[-1]) for c in p))
+    n = flat.x.shape[0]
+    n2 = max(1 << max((n - 1).bit_length(), 0), _COMPRESS_FLOOR)
+    if n2 != n:
+        pad = dev_ed.identity((n2 - n,))
+        flat = PointArray(*(
+            jnp.concatenate([c, pc], axis=0) for c, pc in zip(flat, pad)))
+    s = np.asarray(compress(flat))[:n]
+    return [row.tobytes() for row in s.astype("<u2")]
 
 
 def decompress_from_bytes(blobs: list[bytes]) -> PointArray:

@@ -288,6 +288,141 @@ class ShardedSumcheckTables:
 
 
 # ---------------------------------------------------------------------------
+# Sharded product-tree layer rounds (SURVEY §2 P3: the grand-product /
+# Spark half of the hypercube sharding; product_tree.rs:157-486)
+# ---------------------------------------------------------------------------
+
+def shard_table_batched(table: jnp.ndarray, mesh: Mesh,
+                        axis: str = "shard") -> jnp.ndarray:
+    """(B, n, 16) batched hypercube tables laid out trailing-bit-sharded
+    on the HYPERCUBE axis (axis 1): logical index i lives on chip
+    i mod D at local slot i // D; the instance axis rides along
+    replicated-in-layout (each chip holds all B instances' shard)."""
+    d = mesh.shape[axis]
+    b, n, _ = table.shape
+    assert n % d == 0
+    resh = (table.reshape(b, n // d, d, 16)
+            .transpose(0, 2, 1, 3).reshape(b, n, 16))
+    return jax.device_put(resh, NamedSharding(mesh, P(None, axis)))
+
+
+def unshard_table_batched(table: jnp.ndarray, d: int) -> jnp.ndarray:
+    b, n, _ = table.shape
+    return (table.reshape(b, d, n // d, 16)
+            .transpose(0, 2, 1, 3).reshape(b, n, 16))
+
+
+_BATCHED3_CACHE: dict = {}
+
+
+def _batched3_kernels(mesh: Mesh, axis: str):
+    """(evals, fold_evals, fold) shard_map kernels for the batched
+    product-layer cubic comb sum_i A[b,i]*Bt[b,i]*C[b,i]."""
+    key = (mesh, axis)
+    if key in _BATCHED3_CACHE:
+        return _BATCHED3_CACHE[key]
+    from ..protocols.product_tree import (
+        _bound_var_top_batched,
+        _evals_cubic_batched,
+    )
+
+    spec = P(None, axis)
+
+    def psum_sum(x):
+        return psum_mod_q(fq.sum_mod(x, axis=1), axis)
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+             out_specs=P(None), check_rep=False)
+    def evals3(A, Bt, C):
+        return jnp.stack(_evals_cubic_batched(A, Bt, C, psum_sum), axis=0)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec, spec, spec, P(None)),
+             out_specs=((spec, spec, spec), P(None)), check_rep=False)
+    def fold_evals3(A, Bt, C, r_m):
+        A2 = _bound_var_top_batched(A, r_m)
+        Bt2 = _bound_var_top_batched(Bt, r_m)
+        C2 = _bound_var_top_batched(C, r_m)
+        es = jnp.stack(_evals_cubic_batched(A2, Bt2, C2, psum_sum), axis=0)
+        return (A2, Bt2, C2), es
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec, spec, spec, P(None)),
+             out_specs=(spec, spec, spec), check_rep=False)
+    def fold3(A, Bt, C, r_m):
+        return (_bound_var_top_batched(A, r_m),
+                _bound_var_top_batched(Bt, r_m),
+                _bound_var_top_batched(C, r_m))
+
+    out = (jax.jit(evals3), jax.jit(fold_evals3), jax.jit(fold3))
+    _BATCHED3_CACHE[key] = out
+    return out
+
+
+class ShardedProductLayerTables:
+    """One product-tree layer's (A, Bt, C) tables, (B, n, 16), sharded
+    trailing-bit on the hypercube axis.  The instance-batched analogue
+    of ShardedSumcheckTables: every bound_var_top fold is chip-local,
+    round evals cost one (B, 18)-limb integer psum, and the tables
+    unshard automatically once a chip would hold < 2 elements.  Proof
+    bytes are bit-identical to the unsharded layer rounds."""
+
+    def __init__(self, mesh: Mesh, A: jnp.ndarray, Bt: jnp.ndarray,
+                 C: jnp.ndarray, axis: str = "shard"):
+        self.mesh, self.axis = mesh, axis
+        self.d = mesh.shape[axis]
+        n = A.shape[1]
+        self.sharded = n >= 2 * self.d and n % self.d == 0
+        if self.sharded:
+            self.A, self.Bt, self.C = (
+                shard_table_batched(T, mesh, axis) for T in (A, Bt, C))
+        else:
+            self.A, self.Bt, self.C = A, Bt, C
+
+    def _unshard_if_small(self):
+        if self.sharded and self.A.shape[1] < 4 * self.d:
+            self.A, self.Bt, self.C = (
+                unshard_table_batched(T, self.d)
+                for T in (self.A, self.Bt, self.C))
+            self.sharded = False
+
+    @property
+    def tables(self):
+        return self.A, self.Bt, self.C
+
+    def evals(self) -> jnp.ndarray:
+        from ..protocols.product_tree import _evals_cubic_batched
+
+        if self.sharded:
+            ev, _, _ = _batched3_kernels(self.mesh, self.axis)
+            return ev(self.A, self.Bt, self.C)
+        return jnp.stack(
+            list(_evals_cubic_batched(self.A, self.Bt, self.C)), axis=0)
+
+    def step(self, r_m: jnp.ndarray) -> jnp.ndarray:
+        """Fold + next-round evals."""
+        from ..protocols.product_tree import _step3
+
+        self._unshard_if_small()
+        if self.sharded:
+            _, fe, _ = _batched3_kernels(self.mesh, self.axis)
+            (self.A, self.Bt, self.C), es = fe(self.A, self.Bt, self.C, r_m)
+            return es
+        self.A, self.Bt, self.C, es = _step3(self.A, self.Bt, self.C, r_m)
+        return es
+
+    def fold(self, r_m: jnp.ndarray) -> None:
+        from ..protocols.product_tree import _fold3
+
+        self._unshard_if_small()
+        if self.sharded:
+            _, _, fo = _batched3_kernels(self.mesh, self.axis)
+            self.A, self.Bt, self.C = fo(self.A, self.Bt, self.C, r_m)
+        else:
+            self.A, self.Bt, self.C = _fold3(self.A, self.Bt, self.C, r_m)
+
+
+# ---------------------------------------------------------------------------
 # Data-parallel row-block MSM (the witness-commitment kernel)
 # ---------------------------------------------------------------------------
 

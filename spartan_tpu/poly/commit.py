@@ -63,7 +63,17 @@ def commit(Z: jnp.ndarray, gens: PolyCommitmentGens,
     else:
         blinds = [0] * L_size
 
+    from ..utils import timer as _timer
     from ..utils.timer import Timer
+
+    # Phase boundaries only materialize (block_until_ready) under
+    # SPARTAN_TPU_PROFILE=1 — unconditional syncs would serialize the
+    # async dispatch pipeline in production runs.
+    def _sync(x):
+        if _timer._ENABLED:
+            import jax as _jax
+
+            _jax.block_until_ready(x)
 
     t = Timer("commit::from_mont")
     scalars = fq.from_mont(Z).reshape(L_size, R_size, 16)
@@ -79,18 +89,18 @@ def commit(Z: jnp.ndarray, gens: PolyCommitmentGens,
             scalars, gens.gens.gens_n.device_G, mesh)  # (L_size,)
     else:
         rows = dmsm.msm_rows(scalars, gens.gens.gens_n.device_G)  # (L_size,)
-    import jax as _jax
-
-    _jax.block_until_ready(rows.x)
+    _sync(rows.x)
     t.stop()
     t = Timer("commit::blinds")
-    # add blinds * h (batched scalar-mul of the fixed h)
+    # add blinds * h (batched scalar-mul of the fixed h, through the
+    # shared flat ladder module so every pow-of-two L_size reuses the
+    # naive-MSM executable instead of compiling its own)
     h_tiled = ded.PointArray(
         *(jnp.tile(c, (L_size, 1)) for c in gens.gens.gens_n.device_h)
     )
     blind_limbs = jnp.asarray(limb.ints_to_limbs(blinds))
-    rows = ded.add(rows, ded.scalar_mul(h_tiled, blind_limbs))
-    _jax.block_until_ready(rows.x)
+    rows = ded.add(rows, dmsm.scalar_mul_padded(h_tiled, blind_limbs))
+    _sync(rows.x)
     t.stop()
     t = Timer("commit::compress")
     blobs = dri.compress_to_bytes(rows)

@@ -25,7 +25,21 @@ from ..curve import msm as dmsm
 from ..ff import fq, limb
 from ..utils.errors import ProofVerifyError
 
-_DEVICE_MIN = 256  # rounds smaller than this fold on host
+def _device_min() -> int:
+    """Rounds smaller than this fold on host python ints.  On
+    accelerators device rounds win from 256 elements (one fused
+    executable + one 64-byte fetch per round).  On the CPU backend
+    (tests/dev only) every halved shape costs minutes of local LLVM to
+    compile the fused round graph, while host rounds at test sizes are
+    microseconds — so the device path is off by default there.  Proof
+    bytes are identical either way (the host/device boundary is
+    bitwise-invisible); SPARTAN_TPU_BULLET_DEVICE_MIN overrides."""
+    import os
+
+    v = os.environ.get("SPARTAN_TPU_BULLET_DEVICE_MIN")
+    if v is not None:
+        return int(v)
+    return 256 if jax.default_backend() != "cpu" else (1 << 62)
 
 
 def _mont(x: int) -> jnp.ndarray:
@@ -116,7 +130,8 @@ class BulletReductionProof:
         # host absorbs L,R and derives u).
         qpt_d = ded.from_host([Q_pt])
         hpt_d = ded.from_host([H])
-        while n > 1 and n // 2 >= _DEVICE_MIN:
+        dev_min = _device_min()
+        while n > 1 and n // 2 >= dev_min:
             n //= 2
             blind_L, blind_R = next(it)
             lr_s = _bullet_round_jit(
@@ -205,7 +220,7 @@ class BulletReductionProof:
         Rs = [hri.decode(x) for x in self.R_vec]
         if any(x is None for x in Ls + Rs):
             raise ProofVerifyError("bullet: decompression")
-        if n >= _DEVICE_MIN:
+        if n >= _device_min():
             G_hat = ded.to_host(
                 _expand(dmsm.msm(jnp.asarray(limb.ints_to_limbs(s)), G))
             )[0]

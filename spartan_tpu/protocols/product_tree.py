@@ -30,21 +30,27 @@ def _to_ints(x: jnp.ndarray) -> list[int]:
 
 
 @jax.jit
-def _evals_cubic_batched(A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray):
+def _evals_cubic_batched(A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray,
+                         sum_fn=None):
     """Per-instance round evals at {0,2,3} of sum_i A[b,i]*B[b,i]*C[b,i].
-    All inputs (B, n, 16); returns three (B, 16) arrays."""
+    All inputs (B, n, 16); returns three (B, 16) arrays.  sum_fn
+    overrides the per-instance reduction (the sharded path passes a
+    psum-reducing variant; parallel/mesh.py)."""
     n = A.shape[1] // 2
+    if sum_fn is None:
+        def sum_fn(x):
+            return fq.sum_mod(x, axis=1)
 
     def comb(a, b, c):
         return fq.mul(fq.mul(a, b), c)
 
     lo = [X[:, :n] for X in (A, B, C)]
     hi = [X[:, n:] for X in (A, B, C)]
-    e0 = fq.sum_mod(comb(*lo), axis=1)
+    e0 = sum_fn(comb(*lo))
     p2 = [fq.sub(fq.add(h, h), l) for h, l in zip(hi, lo)]
-    e2 = fq.sum_mod(comb(*p2), axis=1)
+    e2 = sum_fn(comb(*p2))
     p3 = [fq.add(x2, fq.sub(h, l)) for x2, h, l in zip(p2, hi, lo)]
-    e3 = fq.sum_mod(comb(*p3), axis=1)
+    e3 = sum_fn(comb(*p3))
     return e0, e2, e3
 
 
@@ -112,21 +118,155 @@ def _decode3(ev: jnp.ndarray) -> tuple[list[int], list[int], list[int]]:
     return flat[:b], flat[b : 2 * b], flat[2 * b :]
 
 
+# -- bit-reversed-layout layer machinery -------------------------------------
+#
+# Mirror of sumcheck.py's shape-stable rounds for the instance-batched
+# product layers: with every layer table stored at BIT-REVERSED logical
+# indices, (a) the tree build pairs *adjacent* elements (one reshape +
+# mul per step), (b) the layer sumcheck's bound-top-variable fold pairs
+# adjacent elements, and (c) zero-padding the table is invisible (zero
+# leaves multiply to zero; zero lanes contribute comb(0,0,0)=0 to every
+# round eval and fold to zero).  Tables therefore keep a padded
+# power-of-two shape with a tiered shrink, and ONE compiled executable
+# per (batch, tier) shape serves every round of every layer — the
+# unstable path compiles one module per (layer, round-size), ~2x
+# sum_k log(m_k) modules per proof, which dominates fresh-process
+# SNARK::prove latency on the axon TPU backend (no cross-process
+# executable cache).  Proof bytes are identical.
+
+_BR_FLOOR = 1 << 14   # pad every smaller layer up to this one shape
+_BR_FACTOR = 4        # shrink a tier once live <= shape/4
+
+
+def _tier_up(n: int) -> int:
+    """Snap n up to the {_BR_FLOOR * 4^j} grid: every build step and
+    every layer-round executable runs at one of ~4 shapes total, shared
+    across all layers of all proofs of a given instance size (<= 4x
+    padded elementwise work, elementwise ms at these sizes)."""
+    t = _BR_FLOOR
+    while t < n:
+        t *= 4
+    return t
+
+
+def _pad1(T: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Zero-pad axis 1 up to n."""
+    cur = T.shape[1]
+    if cur >= n:
+        return T
+    return jnp.concatenate(
+        [T, jnp.zeros((T.shape[0], n - cur, 16), dtype=T.dtype)], axis=1)
+
+
+def _pairs_b(T: jnp.ndarray):
+    b, n, _ = T.shape
+    T2 = T.reshape(b, n // 2, 2, 16)
+    return T2[:, :, 0], T2[:, :, 1]
+
+
+def _evals3_br(A, Bt, C):
+    lo = []
+    hi = []
+    for T in (A, Bt, C):
+        l, h = _pairs_b(T)
+        lo.append(l)
+        hi.append(h)
+
+    def comb(a, b, c):
+        return fq.mul(fq.mul(a, b), c)
+
+    e0 = fq.sum_mod(comb(*lo), axis=1)
+    p2 = [fq.sub(fq.add(h, h), l) for h, l in zip(hi, lo)]
+    e2 = fq.sum_mod(comb(*p2), axis=1)
+    p3 = [fq.add(x2, fq.sub(h, l)) for x2, h, l in zip(p2, hi, lo)]
+    e3 = fq.sum_mod(comb(*p3), axis=1)
+    return e0, e2, e3
+
+
+def _fold1_br(T: jnp.ndarray, r_m: jnp.ndarray) -> jnp.ndarray:
+    lo, hi = _pairs_b(T)
+    f = fq.add(lo, fq.mul(r_m, fq.sub(hi, lo)))
+    return jnp.concatenate([f, jnp.zeros_like(f)], axis=1)
+
+
+@jax.jit
+def _evals3_br_jit(A, Bt, C):
+    return jnp.stack(_evals3_br(A, Bt, C), axis=0)
+
+
+@jax.jit
+def _step3_br_jit(A, Bt, C, r_m):
+    A2, Bt2, C2 = (_fold1_br(T, r_m) for T in (A, Bt, C))
+    return A2, Bt2, C2, jnp.stack(_evals3_br(A2, Bt2, C2), axis=0)
+
+
+@jax.jit
+def _fold3_br_jit(A, Bt, C, r_m):
+    return tuple(_fold1_br(T, r_m) for T in (A, Bt, C))
+
+
+def _shrink3(tabs, live: int):
+    cur = tabs[0].shape[1]
+    if cur <= _BR_FLOOR or live > cur // _BR_FACTOR:
+        return tabs
+    new = max(_BR_FLOOR, max(live, 2))
+    return tuple(T[:, :new] for T in tabs)
+
+
+@jax.jit
+def _build_step_br_jit(cur: jnp.ndarray):
+    """One BR tree-build step on a padded table: split adjacent pairs,
+    multiply.  Output live = live/2 at padded shape n/2."""
+    left, right = _pairs_b(cur)
+    return left, right, fq.mul(left, right)
+
+
 class ProductCircuitBatch:
     """B binary product trees over (B, n) leaf tables
-    (product_tree.rs:12-64, instance-batched)."""
+    (product_tree.rs:12-64, instance-batched).
 
-    def __init__(self, inputs: jnp.ndarray):
+    bitrev=True: ``inputs`` are in bit-reversed index layout (and may
+    carry a zero pad beyond ``live``); layers are built adjacent-pair
+    and stay bit-reversed, padded at >= _BR_FLOOR, for the shape-stable
+    layer rounds.  Roots/evaluations are identical either way."""
+
+    def __init__(self, inputs: jnp.ndarray, bitrev: bool = False,
+                 live: int | None = None):
         b, n, _ = inputs.shape
-        assert n & (n - 1) == 0 and n >= 2
-        self.num_layers = n.bit_length() - 1
-        self.left = [inputs[:, : n // 2]]
-        self.right = [inputs[:, n // 2 :]]
-        for _ in range(self.num_layers - 1):
-            prod = fq.mul(self.left[-1], self.right[-1])
-            half = prod.shape[1] // 2
-            self.left.append(prod[:, :half])
-            self.right.append(prod[:, half:])
+        self.bitrev = bitrev
+        if not bitrev:
+            assert n & (n - 1) == 0 and n >= 2
+            self.num_layers = n.bit_length() - 1
+            self.live = [n // 2]
+            self.left = [inputs[:, : n // 2]]
+            self.right = [inputs[:, n // 2 :]]
+            for _ in range(self.num_layers - 1):
+                prod = fq.mul(self.left[-1], self.right[-1])
+                half = prod.shape[1] // 2
+                self.live.append(half)
+                self.left.append(prod[:, :half])
+                self.right.append(prod[:, half:])
+            return
+        live = n if live is None else live
+        assert live & (live - 1) == 0 and live >= 2
+        self.num_layers = live.bit_length() - 1
+        cur = inputs
+        self.left, self.right, self.live = [], [], []
+        while live >= 2:
+            # grid-snap the working shape (pad up with zeros / slice
+            # down past-the-live-prefix zeros) so _build_step_br_jit
+            # compiles at ~4 shapes total
+            t = _tier_up(live)
+            if cur.shape[1] < t:
+                cur = _pad1(cur, t)
+            elif cur.shape[1] > t:
+                cur = cur[:, :t]
+            left, right, prod = _build_step_br_jit(cur)
+            self.live.append(live // 2)
+            self.left.append(left)
+            self.right.append(right)
+            cur = prod
+            live //= 2
 
     def evaluate(self) -> list[int]:
         root = fq.mul(self.left[-1][:, 0], self.right[-1][:, 0])
@@ -174,13 +314,18 @@ class ProductCircuitEvalProofBatched:
         proof_layers = []
         rand: list[int] = []
 
+        br = prod.bitrev
         for layer_id in range(prod.num_layers - 1, -1, -1):
             A = prod.left[layer_id]
             Bt = prod.right[layer_id]
-            m = A.shape[1]
-            C_par = dense.eq_evals(rand)
+            m = prod.live[layer_id]
+            C_par = dense.eq_evals(rand, bitrev=br)
             assert C_par.shape[0] == m
             num_rounds = m.bit_length() - 1
+            pad_n = max(A.shape[1], _BR_FLOOR) if br else m
+            if br:
+                A = _pad1(A, pad_n)
+                Bt = _pad1(Bt, pad_n)
 
             # The par set's eq-table C and the seq (dotp) set's weight
             # table have the same per-instance length at layer 0, so
@@ -197,15 +342,41 @@ class ProductCircuitEvalProofBatched:
             claim = sum(c * v for c, v in zip(coeffs, claims_to_verify)) % Q
 
             # broadcast C across the par batch once per layer
-            C_b = jnp.broadcast_to(C_par[None], A.shape)
+            C_b = jnp.broadcast_to(_pad1(C_par[None], pad_n), A.shape)
             if has_seq:
-                A = jnp.concatenate([A, dotp.left], axis=0)
-                Bt = jnp.concatenate([Bt, dotp.right], axis=0)
-                C_b = jnp.concatenate([C_b, dotp.weight], axis=0)
+                dl, dr, dw = dotp.left, dotp.right, dotp.weight
+                if br:
+                    # the dotp (seq) tables are logical-layout polys:
+                    # relayout them once per proof (3 gathers) and pad
+                    # to the layer shape
+                    perm = jnp.asarray(dense.bitrev_perm(num_rounds))
+                    dl = _pad1(jnp.take(dl, perm, axis=1), pad_n)
+                    dr = _pad1(jnp.take(dr, perm, axis=1), pad_n)
+                    dw = _pad1(jnp.take(dw, perm, axis=1), pad_n)
+                A = jnp.concatenate([A, dl], axis=0)
+                Bt = jnp.concatenate([Bt, dr], axis=0)
+                C_b = jnp.concatenate([C_b, dw], axis=0)
+            # hypercube-sharded layer rounds when a mesh is active
+            # (SURVEY §2 P3; proof bytes identical to the local path)
+            from ..parallel import context as pctx
+
+            mesh = pctx.get_mesh()
+            mgr = None
+            if not br and mesh is not None and num_rounds:
+                from ..parallel.mesh import ShardedProductLayerTables
+
+                mgr = ShardedProductLayerTables(mesh, A, Bt, C_b)
+
             compressed = []
             e = claim
             r_round: list[int] = []
-            ev = _evals3_stacked(A, Bt, C_b) if num_rounds else None
+            live_r = m
+            if mgr is not None:
+                ev = mgr.evals()
+            elif br:
+                ev = _evals3_br_jit(A, Bt, C_b) if num_rounds else None
+            else:
+                ev = _evals3_stacked(A, Bt, C_b) if num_rounds else None
             for k in range(num_rounds):
                 e0v, e2v, e3v = _decode3(ev)
                 e0 = sum(c * v for c, v in zip(coeffs, e0v)) % Q
@@ -216,7 +387,20 @@ class ProductCircuitEvalProofBatched:
                 r_j = transcript.challenge_scalar(b"challenge_nextround")
                 r_round.append(r_j)
                 rm = _r_mont(r_j)
-                if k + 1 < num_rounds:
+                if mgr is not None:
+                    if k + 1 < num_rounds:
+                        ev = mgr.step(rm)
+                    else:
+                        mgr.fold(rm)
+                        A, Bt, C_b = mgr.tables
+                elif br:
+                    if k + 1 < num_rounds:
+                        A, Bt, C_b, ev = _step3_br_jit(A, Bt, C_b, rm)
+                        live_r //= 2
+                        A, Bt, C_b = _shrink3((A, Bt, C_b), live_r)
+                    else:
+                        A, Bt, C_b = _fold3_br_jit(A, Bt, C_b, rm)
+                elif k + 1 < num_rounds:
                     A, Bt, C_b, ev = _step3(A, Bt, C_b, rm)
                 else:
                     A, Bt, C_b = _fold3(A, Bt, C_b, rm)

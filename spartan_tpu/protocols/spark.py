@@ -329,17 +329,32 @@ class ProductLayerProof:
         B = dense_rep.batch_size
         N = dense_rep.val.shape[1]
 
-        # build the two instance-batched circuit trees
+        # build the two instance-batched circuit trees.  Under the
+        # shape-stable regime (accelerator backends) the leaf tables are
+        # bit-reverse-relayouted ONCE (two gathers) so every tree-build
+        # step and every layer-sumcheck round runs at one of ~4 padded
+        # shapes instead of one executable per (layer, round-size) —
+        # the dominant fresh-process compile cost of SNARK::prove on the
+        # axon backend.  Proof bytes are identical.
+        from .sumcheck import stable_layout_active
+
+        use_br = stable_layout_active()
         ops_leaves = jnp.concatenate([
             row_layers.read_leaves, row_layers.write_leaves,
             col_layers.read_leaves, col_layers.write_leaves,
         ], axis=0)  # (4B, N, 16)
-        ops_circuit = ProductCircuitBatch(ops_leaves)
         mem_leaves = jnp.stack([
             row_layers.init_leaves, row_layers.audit_leaves,
             col_layers.init_leaves, col_layers.audit_leaves,
         ], axis=0)  # (4, C, 16)
-        mem_circuit = ProductCircuitBatch(mem_leaves)
+        if use_br:
+            C_cells = mem_leaves.shape[1]
+            perm_n = jnp.asarray(dense.bitrev_perm(N.bit_length() - 1))
+            perm_c = jnp.asarray(dense.bitrev_perm(C_cells.bit_length() - 1))
+            ops_leaves = jnp.take(ops_leaves, perm_n, axis=1)
+            mem_leaves = jnp.take(mem_leaves, perm_c, axis=1)
+        ops_circuit = ProductCircuitBatch(ops_leaves, bitrev=use_br)
+        mem_circuit = ProductCircuitBatch(mem_leaves, bitrev=use_br)
 
         ops_evals = ops_circuit.evaluate()
         mem_evals = mem_circuit.evaluate()

@@ -152,3 +152,75 @@ def test_padded_constraints_snark():
     proof = SNARK.prove(inst, comm, decomm, vars_a, inputs_a, gens,
                         Transcript(b"snark_example"), _tape_seed=7)
     proof.verify(comm, inputs_a, Transcript(b"snark_example"), gens)
+
+
+def test_snark_stable_rounds_byte_parity(monkeypatch):
+    """Bit-reversed shape-stable Spark product layers (the accelerator
+    default) must emit the same SNARK proof bytes as the plain layout:
+    the BR relayout + padded tiers are execution choices, not protocol
+    changes."""
+    from spartan_tpu import serialize as ser
+    from spartan_tpu.api import SNARK, SNARKGens, Instance
+    from spartan_tpu.core.merlin import Transcript
+
+    n = 32
+    inst, vars_a, inputs_a = Instance.produce_synthetic_r1cs(
+        n, n, 3, seed=91)
+    nnz = max(inst.inst.A.get_num_nz_entries(),
+              inst.inst.B.get_num_nz_entries(),
+              inst.inst.C.get_num_nz_entries())
+    sgens = SNARKGens(n, n, 3, nnz)
+    comm, decomm = SNARK.encode(inst, sgens)
+
+    monkeypatch.setenv("SPARTAN_TPU_DEVICE_PROVER", "0")
+    monkeypatch.setenv("SPARTAN_TPU_STABLE_ROUNDS", "0")
+    plain = ser.snark_to_bytes(SNARK.prove(
+        inst, comm, decomm, vars_a, inputs_a, sgens,
+        Transcript(b"srk32"), _tape_seed=23))
+
+    monkeypatch.setenv("SPARTAN_TPU_STABLE_ROUNDS", "1")
+    stable = ser.snark_to_bytes(SNARK.prove(
+        inst, comm, decomm, vars_a, inputs_a, sgens,
+        Transcript(b"srk32"), _tape_seed=23))
+
+    assert stable == plain
+    ser.snark_from_bytes(stable).verify(
+        comm, inputs_a, Transcript(b"srk32"), sgens)
+
+
+def test_snark_stable_rounds_tiered_byte_parity(monkeypatch):
+    """With an aggressive BR tier schedule (floor 4), the padded-grid
+    tree build, the layer-round tier shrinks and the dotp relayout must
+    all still emit identical SNARK bytes — this is what exercises
+    _tier_up/_shrink3 transitions that real floors only hit at 2^16+."""
+    from spartan_tpu import serialize as ser
+    from spartan_tpu.api import SNARK, SNARKGens, Instance
+    from spartan_tpu.core.merlin import Transcript
+    from spartan_tpu.protocols import product_tree as pt
+    from spartan_tpu.protocols import sumcheck as sc
+
+    n = 32
+    inst, vars_a, inputs_a = Instance.produce_synthetic_r1cs(
+        n, n, 3, seed=92)
+    nnz = max(inst.inst.A.get_num_nz_entries(),
+              inst.inst.B.get_num_nz_entries(),
+              inst.inst.C.get_num_nz_entries())
+    sgens = SNARKGens(n, n, 3, nnz)
+    comm, decomm = SNARK.encode(inst, sgens)
+
+    monkeypatch.setenv("SPARTAN_TPU_DEVICE_PROVER", "0")
+    monkeypatch.setenv("SPARTAN_TPU_STABLE_ROUNDS", "0")
+    plain = ser.snark_to_bytes(SNARK.prove(
+        inst, comm, decomm, vars_a, inputs_a, sgens,
+        Transcript(b"srkt32"), _tape_seed=24))
+
+    monkeypatch.setenv("SPARTAN_TPU_STABLE_ROUNDS", "1")
+    monkeypatch.setattr(pt, "_BR_FLOOR", 4)
+    monkeypatch.setattr(sc, "_TIER_FLOOR", 4)
+    tiered = ser.snark_to_bytes(SNARK.prove(
+        inst, comm, decomm, vars_a, inputs_a, sgens,
+        Transcript(b"srkt32"), _tape_seed=24))
+
+    assert tiered == plain
+    ser.snark_from_bytes(tiered).verify(
+        comm, inputs_a, Transcript(b"srkt32"), sgens)
