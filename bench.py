@@ -33,6 +33,14 @@ os.environ.setdefault("SPARTAN_TPU_DEVICE_PROVER", "0")
 BASELINE_NIZK_PROVE_S = 4.5140   # README.md:413, 2^20, 1 CPU core
 BASELINE_POLYCOMMIT_S = 2.7176   # README.md:353-354
 
+_T0 = time.perf_counter()
+
+
+def _progress(msg: str) -> None:
+    # stderr only: stdout must stay the one JSON line the driver parses
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def bench_nizk_prove(args):
     import jax
@@ -42,21 +50,26 @@ def bench_nizk_prove(args):
     from spartan_tpu.core.merlin import Transcript
 
     n = 1 << args.n
+    _progress(f"synthesizing 2^{args.n} R1CS on {jax.default_backend()}")
     inst, vars_a, inputs_a = Instance.produce_synthetic_r1cs(
         n, n, 10, seed=0)
     gens = NIZKGens(n, n, 10)
 
     # warmup (compiles; served from the persistent cache when warm)
+    _progress("warmup prove (pays every XLA compile on the axon backend)")
     NIZK.prove(inst, vars_a, inputs_a, gens, Transcript(b"bench"))
 
     times = []
-    for _ in range(args.reps):
+    for i in range(args.reps):
+        _progress(f"timed prove {i + 1}/{args.reps}")
         t0 = time.perf_counter()
         proof = NIZK.prove(inst, vars_a, inputs_a, gens, Transcript(b"bench"))
         times.append(time.perf_counter() - t0)
+        _progress(f"  -> {times[-1]:.3f} s")
     best = min(times)
 
     # sanity: the proof must verify
+    _progress("verifying")
     proof.verify(inst, inputs_a, Transcript(b"bench"), gens)
 
     scale = (1 << 20) / n  # linear-work rescale when --n != 20
