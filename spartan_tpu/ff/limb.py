@@ -91,13 +91,37 @@ def carry_prop(acc: jnp.ndarray) -> jnp.ndarray:
 # Wide multiply / small multiply / add / sub
 # ---------------------------------------------------------------------------
 
+def _mul_impl() -> str:
+    """Schoolbook formulation: "unrolled" (16 static partial products via
+    dynamic-update-slice — biggest graph, fastest steady-state) or
+    "loop" (lax.fori_loop + dynamic roll — ~3x smaller HLO, ~3x faster
+    XLA/LLVM compile, ~2x slower steady-state on CPU).
+
+    Compile time is the binding constraint of this build (SURVEY §7
+    "hard parts"; one-core LLVM pays seconds per unrolled field mul),
+    so the CPU backend — tests, dev, the driver's multichip dryrun —
+    defaults to "loop"; accelerators default to "unrolled".
+    SPARTAN_TPU_MUL_IMPL overrides.  Identical results either way.
+    """
+    import os
+
+    v = os.environ.get("SPARTAN_TPU_MUL_IMPL")
+    if v is not None:
+        return v
+    import jax
+
+    return "loop" if jax.default_backend() == "cpu" else "unrolled"
+
+
 def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(...,16) x (...,16) -> (...,32) full 512-bit product.
 
     Schoolbook with lo/hi 16-bit split; column accumulators stay < 2^22
-    so a single final carry pass suffices.
+    so a single final carry pass suffices.  Formulation per _mul_impl.
     """
     na, nb = a.shape[-1], b.shape[-1]
+    if _mul_impl() == "loop" and na == nb:
+        return _mul_wide_loop(a, b)
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     acc = jnp.zeros((*shape, na + nb + 1), dtype=jnp.uint32)
     for i in range(na):
@@ -107,8 +131,35 @@ def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return carry_prop(acc)[..., : na + nb]
 
 
+def _mul_wide_loop(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """mul_wide as a fori_loop over a's limbs with dynamic rolls: the
+    compiled graph contains ONE partial-product instance instead of 16.
+    Column sums stay < 16 * 2 * (2^16-1) < 2^22 in uint32 — same bound
+    as the unrolled form."""
+    import jax.lax as lax
+
+    n = a.shape[-1]
+    wide = 2 * n + 1
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    bpad = pad_limbs(jnp.broadcast_to(b, (*shape, n)), wide)
+
+    def body(i, acc):
+        ai = lax.dynamic_index_in_dim(a, i, axis=-1, keepdims=True)
+        p = ai * bpad  # (..., wide); only the first n entries nonzero
+        plo = jnp.roll(p & LIMB_MASK, i, axis=-1)
+        phi = jnp.roll(p >> LIMB_BITS, i + 1, axis=-1)
+        return acc + plo + phi
+
+    acc = jnp.zeros((*shape, wide), dtype=jnp.uint32)
+    acc = lax.fori_loop(0, n, body, acc)
+    return carry_prop(acc)[..., : 2 * n]
+
+
 def mul_low(a: jnp.ndarray, b: jnp.ndarray, n: int = NLIMBS) -> jnp.ndarray:
     """Low n limbs of a*b (i.e. a*b mod 2^(16n)) — the Montgomery m-step."""
+    if _mul_impl() == "loop":
+        # the loop form computes the full product anyway; truncate
+        return _mul_wide_loop(a[..., :n], b[..., :n])[..., :n]
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     acc = jnp.zeros((*shape, n + 1), dtype=jnp.uint32)
     for i in range(n):
@@ -147,10 +198,11 @@ def pad_limbs(a: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def sub_mod(a: jnp.ndarray, b: jnp.ndarray, modulus_limbs: jnp.ndarray) -> jnp.ndarray:
     """(a - b) mod m for canonical a, b < m: compute a + m - b then
-    conditionally subtract m (constant-shape, branch-free)."""
+    conditionally subtract m (constant-shape, branch-free).  Limb sums
+    a + m + ~b + 1 <= 3*(2^16-1) + 1 < 2^18 — safe in uint32."""
     t = carry_prop(a + modulus_limbs + (LIMB_MASK - b) + one_lsb(a))
-    # t = a + m - b, in [1 .. 2m); note (0xffff - b) + 1 = 2^16*... two's
-    # complement per limb with the +1 injected at limb 0 via one_lsb.
+    # t = a + m - b, in [1 .. 2m); the wrap 2^(16n) is dropped because
+    # the true value fits n limbs.
     return cond_sub(t, modulus_limbs)
 
 
@@ -161,23 +213,33 @@ def one_lsb(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def ge(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a >= b limb-lexicographic compare; returns bool (...,)."""
-    gt = a > b
-    lt = a < b
-    # most significant differing limb decides; scan from the top
-    res = jnp.ones(a.shape[:-1], dtype=bool)  # equal -> True
-    for k in range(a.shape[-1]):
-        res = jnp.where(gt[..., k], True, jnp.where(lt[..., k], False, res))
-    return res
+    """a >= b limb-lexicographic compare; returns bool (...,).
+
+    Carry-out form: a >= b iff a + (2^(16n) - b) carries out of limb
+    n-1, i.e. limb n of the (n+1)-limb sum a + ~b + 1 is 1 — one
+    carry_prop instead of an unrolled most-significant-diff chain."""
+    t = _sub_borrow(a, b)
+    return t[..., a.shape[-1]] == 1
+
+
+def _sub_borrow(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(n+1)-limb two's-complement difference a + ~b + 1: low n limbs
+    are a - b mod 2^(16n); limb n is the NOT-borrow flag (1 iff
+    a >= b)."""
+    n = a.shape[-1]
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    s = jnp.broadcast_to(a + (LIMB_MASK - b), (*shape, n))
+    acc = pad_limbs(s, n + 1).at[..., 0].add(1)  # limbs <= 2^17 - 1
+    return carry_prop(acc)
 
 
 def cond_sub(a: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """a - m if a >= m else a (single conditional subtract)."""
-    m = pad_limbs(jnp.broadcast_to(m, (*a.shape[:-1], m.shape[-1])), a.shape[-1])
-    need = ge(a, m)
-    diff = carry_prop(a + (LIMB_MASK - m) + one_lsb(a))[..., : a.shape[-1]]
-    # diff = a - m mod 2^(16n); valid exactly when need
-    return jnp.where(need[..., None], diff, a)
+    """a - m if a >= m else a (single conditional subtract),
+    branch-free via the carry-out of a - m."""
+    n = a.shape[-1]
+    t = _sub_borrow(a, jnp.broadcast_to(m, a.shape))
+    need = t[..., n:] == 1  # (..., 1): a >= m
+    return jnp.where(need, t[..., :n], a)
 
 
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:

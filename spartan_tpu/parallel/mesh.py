@@ -107,16 +107,40 @@ def sharded_quad_round(mesh: Mesh, axis: str = "shard"):
     return jax.jit(wrapper)
 
 
+def msm_rows_sharded(scalars: jnp.ndarray, gens: PointArray, mesh: Mesh,
+                     axis: str = "shard") -> PointArray:
+    """Data-parallel row-MSM under GSPMD: rows (independent MSMs sharing
+    one generator vector — dense_mlpoly.rs:148-162) are sharded across
+    the mesh and the naive-ladder row-MSM kernel is jitted over the
+    sharded inputs.  Every op in that kernel is elementwise over the
+    row axis, so XLA partitions it with ZERO collectives and ONE
+    compiled SPMD module — this is the compile-lean multi-chip MSM used
+    by the driver dryrun and CI (the shard_map Pippenger variant
+    `sharded_msm` is the warm-cache production alternative).
+
+    scalars: (L, R, 16) canonical limbs, L % D == 0; gens: (R,) points.
+    Group elements are bit-identical to msm.msm_rows."""
+    L = scalars.shape[0]
+    d = mesh.shape[axis]
+    if L % d != 0:
+        return msm_mod.msm_rows(scalars, gens)
+    scal_sh = jax.device_put(scalars, NamedSharding(mesh, P(axis)))
+    return _MSM_ROWS_SHARDED_JIT(scal_sh, gens)
+
+
+_MSM_ROWS_SHARDED_JIT = jax.jit(msm_mod._msm_rows_naive_jit)
+
+
 def sharded_msm_naive(mesh: Mesh, axis: str = "shard"):
     """Returns fn(scalars, points) computing an MSM with points/scalars
     block-sharded across the mesh, using the *naive* per-point
     double-and-add kernel (a 256-step lax.scan with one add instance).
 
-    Purpose: a sharded MSM whose XLA graph compiles in seconds — the
-    Pippenger sort+segmented-scan graph takes tens of minutes to compile
-    on the CPU backend under shard_map, which is fine for a production
-    TPU run with a warm cache but not for dryruns/CI.  Results are
-    bit-identical to ``sharded_msm``.
+    NOTE: prefer ``msm_rows_sharded`` — the shard_map wrapper here
+    makes XLA compile the ladder per-partition, which costs minutes of
+    local LLVM on the CPU backend (the round-2 dryrun timeout); the
+    GSPMD formulation compiles the same math as one small module.
+    Results are bit-identical to ``sharded_msm``.
     """
 
     @partial(

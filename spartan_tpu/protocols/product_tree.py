@@ -12,6 +12,7 @@ elementwise mul per layer.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,7 @@ def _to_ints(x: jnp.ndarray) -> list[int]:
     return fq.decode_to_ints(x)
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=3)
 def _evals_cubic_batched(A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray,
                          sum_fn=None):
     """Per-instance round evals at {0,2,3} of sum_i A[b,i]*B[b,i]*C[b,i].
