@@ -2,7 +2,6 @@
 (L=128 rows x R=1024 pts = 2^17 points/launch) and extrapolate to 2^20:
 
   win    — 4-bit windowed Horner, limbs-minor (N,16) layout (current)
-  win_t  — same algorithm, limb-first (…,16,W) transposed layout
   pallas — the Mosaic kernel (VMEM-resident select+tree-sum)
 
 Also microbenches: fp.mul in both layouts, ed.add, tree-sum, select16.
@@ -85,7 +84,6 @@ scal = jnp.asarray(
 gens = rand_pts((R,))
 
 t("win  launch (128x1024)", msm_mod._msm_rows_win_jit, scal, gens)
-t("win_t launch (128x1024)", msm_mod._msm_rows_win_t_jit, scal, gens)
 
 try:
     from spartan_tpu.curve.pallas_msm import msm_rows_pallas

@@ -297,64 +297,10 @@ def _msm_rows_win_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
     return acc
 
 
-@jax.jit
-def _msm_rows_win_t_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
-    """Transposed-layout (limb-first) variant of _msm_rows_win_jit.
-
-    Same 4-bit windowed Horner, but all point coordinates live as
-    (..., 16, W) blocks — limbs on the SUBLANE axis, points on LANES —
-    using the lazy pseudo-Mersenne field ops shared with the Pallas
-    kernel (curve/pallas_msm.py).  Rationale: in the default
-    limbs-minor (..., 16) layout every elementwise op occupies 16 of
-    128 vector lanes; transposing makes the point axis minor so the
-    VPU runs full-width.  The transposes themselves are two O(bytes)
-    relayouts at the kernel edge.
-
-    scalars: (L, R, 16) canonical limbs; gens: (R,) points.
-    """
-    from . import pallas_msm as pm
-
-    L, R, _ = scalars.shape
-    f = pm._FpLazy(jnp.asarray(pm._CONSTS))
-    scal_t = jnp.swapaxes(scalars, -1, -2)          # (L, 16, R)
-    tab4 = pm._build_tab(gens)                       # 4 x (16, 16, R)
-    tabs = [tuple(tc[e] for tc in tab4) for e in range(16)]
-
-    def step(acc, s):
-        w = 63 - s                        # MSB-first window index
-        limb_idx = w // 4
-        sh = (w % 4) * 4
-        lm = lax.dynamic_slice_in_dim(scal_t, limb_idx, 1, axis=1)  # (L,1,R)
-        d = (lm >> sh.astype(jnp.uint32)) & jnp.uint32(15)
-        p = pm._tree_select(d, tabs)      # 4-tuple of (L, 16, R)
-        # halving tree-sum along the lane axis
-        width = R
-        while width > 1:
-            half = width // 2
-            a = tuple(c[..., :half] for c in p)
-            b = tuple(c[..., half:width] for c in p)
-            p = pm._padd(f, a, b)
-            width = half
-        s_row = p                          # 4-tuple of (L, 16, 1)
-        acc = pm._padd(f, acc, acc)        # 2*acc
-        acc = pm._padd(f, acc, acc)
-        acc = pm._padd(f, acc, acc)
-        acc = pm._padd(f, acc, acc)        # 16*acc
-        return pm._padd(f, acc, s_row), None
-
-    ident_t = tuple(
-        jnp.broadcast_to(c[..., None], (L, limb.NLIMBS, 1))
-        for c in ed.identity((L,))
-    )
-    acc, _ = lax.scan(step, ident_t, jnp.arange(64, dtype=jnp.int32))
-    # canonicalize lazy coords and return limbs-minor points
-    from ..ff import fp25519 as fp
-
-    coords = []
-    for c in acc:
-        c_lm = jnp.swapaxes(c, -1, -2)[:, 0, :]   # (L, 16) lazy < 2^256
-        coords.append(fp.reduce_canonical(c_lm))
-    return PointArray(*coords)
+# (The transposed-layout windowed backend that lived here, _msm_rows_
+# win_t_jit, was the XLA prototype of the limbs-on-sublanes idea; it
+# is superseded by the Mosaic kernel in curve/pallas_msm.py, which
+# owns that layout at production speed.)
 
 
 @jax.jit
@@ -421,7 +367,6 @@ def _msm_rows_naive_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
 _DENSE_MSM_JIT = {
     "bits": _msm_rows_bits_jit,
     "win": _msm_rows_win_jit,
-    "win_t": _msm_rows_win_t_jit,
     "naive": _msm_rows_naive_jit,
 }
 
@@ -473,6 +418,11 @@ def msm(scalars: jnp.ndarray, points: PointArray, c: int | None = None) -> Point
     the launch cap are processed in equal chunks and combined with a
     handful of point adds (see _row_chunk_for)."""
     n = scalars.shape[0]
+    if _msm_impl() == "pallas":
+        from .pallas_msm import msm_rows_pallas
+
+        out = msm_rows_pallas(scalars[None], points)
+        return PointArray(*(pc[0] for pc in out))
     chunk = _row_chunk_for(1)
     if _msm_impl() in _DENSE_MSM_JIT:
         if n > chunk and n % chunk == 0:
@@ -515,20 +465,21 @@ def _row_chunk_for(R: int) -> int:
 
 
 def _msm_impl() -> str:
-    """MSM kernel family: "win" (4-bit windowed Horner), "bits" (1-bit
+    """MSM kernel family: "pallas" (VMEM-resident Mosaic row-MSM —
+    curve/pallas_msm.py), "win" (4-bit windowed Horner), "bits" (1-bit
     Horner), "naive" (ladder), "pippenger" (sort+seg-scan).  Default is
-    backend-dependent: "win" on accelerators (zero gathers — measured
-    123 s -> 25 s per 2^20 msm_rows vs Pippenger on the chip), "naive"
-    on CPU, where LLVM needs tens of minutes, ~20 GB, and >65k mmaps
-    per shape to compile the win/Pippenger graphs even for tiny inputs
-    — the CPU backend exists for tests/dev, and proof bytes are
+    backend-dependent: "pallas" on accelerators (the XLA formulations
+    are HBM-bound; see pallas_msm.py's header), "naive" on CPU, where
+    LLVM needs tens of minutes, ~20 GB, and >65k mmaps per shape to
+    compile the win/Pippenger graphs even for tiny inputs — the CPU
+    backend exists for tests/dev, and proof bytes are
     impl-independent."""
     import os
 
     v = os.environ.get("SPARTAN_TPU_MSM_IMPL")
     if v is not None:
         return v
-    return "win" if jax.default_backend() != "cpu" else "naive"
+    return "pallas" if jax.default_backend() != "cpu" else "naive"
 
 
 def _dense_launch(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
@@ -559,14 +510,21 @@ def msm_rows(
     out[j] = sum_i scalars[j, i] * gens[i].
 
     This is the witness/Spark commitment kernel (one Pedersen commitment
-    per matrix row, dense_mlpoly.rs:148-162).  Default implementation is
-    the bit-parallel masked tree-sum (_msm_rows_bits_jit) — zero
-    sort/gather, pure streaming; SPARTAN_TPU_MSM_IMPL=pippenger selects
-    the sort+seg-scan Pippenger.  Large batches are processed in equal
-    row chunks (see _row_chunk_for): identical results, one compile,
-    bounded HBM.
+    per matrix row, dense_mlpoly.rs:148-162).  Dispatch via
+    SPARTAN_TPU_MSM_IMPL (see _msm_impl): "pallas" (accelerator
+    default) runs the VMEM-resident Mosaic kernel; the XLA families
+    ("win"/"bits"/"naive") are processed in equal row chunks (see
+    _row_chunk_for): identical results, one compile, bounded HBM;
+    "pippenger" selects the sort+seg-scan path.
     """
     L, R = scalars.shape[0], scalars.shape[1]
+    if _msm_impl() == "pallas":
+        # The Mosaic kernel streams (lane-block, row-block, window)
+        # grid cells through VMEM itself — no launch chunking needed,
+        # and one executable covers the whole (L, R) problem.
+        from .pallas_msm import msm_rows_pallas
+
+        return msm_rows_pallas(scalars, gens)
     chunk = _row_chunk_for(R)
 
     if _msm_impl() in _DENSE_MSM_JIT:

@@ -21,15 +21,15 @@ values live in [0, 2^256) (not canonical), products are folded with
 kernel; outputs are canonicalised by the XLA wrapper.  Subtraction
 uses a - b === a + not16(b) + (p - 37) (mod p) — borrow-free.
 
-Algorithm (one grid step = one (row-block, window) pair):
+Algorithm (one grid step = one (lane-block, row-block, window) cell):
   digits d[l,i] = 4-bit window w of scalars[l,i]     (shift+mask)
-  sel[l,i]     = tab[d[l,i]][i]                      (4-level select
-                 tree evaluated per lane-half to bound VMEM)
-  S_w[l]       = sum_i sel[l,i]                      (halving tree:
-                 unrolled while wide, masked dynamic-roll loop when
-                 narrow — lane tiles below 128 cost the same anyway)
-The per-window sums (64, L) then combine on the XLA side with a
-16-ary Horner over windows (msm.py::horner_windows), which is tiny.
+  sel[l,i]     = tab[d[l,i]][i]                      (4-level binary
+                 select tree, arithmetic selects)
+  S_wb[l]      = sum_{i in block} sel[l,i]           (halving tree:
+                 lo half + pltpu.roll'd hi half per level)
+Lane blocks of RC points bound VMEM; the per-(window, lane-block) sums
+(64, nblk, L) then reduce over lane blocks and combine with a 16-ary
+Horner over windows on the XLA side, which is tiny.
 
 Reference parity: this computes exactly group.rs:98-117's
 vartime_multiscalar_mul restricted to our row-batched commitment shape
@@ -60,113 +60,143 @@ P_LIMBS = limb.int_to_limbs(P)
 D2_LIMBS = limb.int_to_limbs(D2_INT)
 PM37_LIMBS = limb.int_to_limbs(P - 37)  # the borrow-free sub constant
 
-# consts block rows (k, 16): [p, d2, p-37]
-_CONSTS = np.stack([P_LIMBS, D2_LIMBS, PM37_LIMBS], axis=0).astype(np.uint32)
+# consts block rows (k, H=32): [p, d2, p-37], zero-padded above row 15
+_CONSTS = np.pad(
+    np.stack([P_LIMBS, D2_LIMBS, PM37_LIMBS], axis=0).astype(np.uint32),
+    [(0, 0), (0, limb.NLIMBS)])
 
 _LIMB_MASK = np.uint32(limb.LIMB_MASK)
 
 
 # ---------------------------------------------------------------------------
 # Transposed lazy field ops: limbs along axis -2, lanes along axis -1
+#
+# MOSAIC LAYOUT RULE: no jnp.pad / jnp.concatenate anywhere.  Mosaic
+# lowers pltpu.roll (and slices) to lazy layout *offsets*, and
+# tpu.concatenate rejects operands whose offsets disagree on any
+# non-concat dim ("result/input offset mismatch") -- the failure mode
+# that killed the first compiled version of this kernel.  Elementwise
+# ops relayout automatically, so every value here lives at a FIXED
+# height of H = 32 sublanes (normal values occupy rows 0..15, wide
+# products rows 0..31 -- a product of two < 2^256 values is < 2^512,
+# so no 33rd row is ever needed) and limb shifts are roll + iota-mask.
 # ---------------------------------------------------------------------------
 
-def _shiftl(x, k, axis=-2, fill=0):
-    """Shift k positions toward higher limbs along the limb axis."""
+H = 2 * NLIMBS  # fixed sublane height for every lazy value
+
+
+_IN_PALLAS = False  # set while tracing the Mosaic kernel body
+
+
+def _roll(x, k, axis):
+    """rolled[i] = x[(i - k) % n].  pltpu.roll inside the Pallas trace
+    (jnp.roll does not lower in Mosaic); jnp.roll everywhere else
+    (pltpu.roll has no lowering outside a Pallas trace) — the lazy
+    field ops below are shared with the XLA win_t backend and with
+    host-side unit tests."""
+    if _IN_PALLAS:
+        return pltpu.roll(x, k, axis=axis)
+    return jnp.roll(x, k, axis)
+
+
+def _row_iota(shape):
+    return lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 2)
+
+
+def _rollup(x, k, fill=0):
+    """Shift k rows toward higher limb indices along axis -2."""
     if k == 0:
         return x
-    nd = x.ndim
-    ax = axis % nd
-    pad = [(0, 0)] * nd
-    pad[ax] = (k, 0)
-    sl = [slice(None)] * nd
-    sl[ax] = slice(0, x.shape[ax] - k)
-    return jnp.pad(x[tuple(sl)], pad, constant_values=fill)
+    r = _roll(x, k, x.ndim - 2)
+    return jnp.where(_row_iota(x.shape) >= np.uint32(k), r,
+                     jnp.uint32(fill))
+
+
+def _rolldown(x, k):
+    """Shift k rows toward lower limb indices along axis -2 (zero-fill)."""
+    if k == 0:
+        return x
+    n = x.shape[-2]
+    r = _roll(x, n - k, x.ndim - 2)
+    return jnp.where(_row_iota(x.shape) < np.uint32(n - k), r, jnp.uint32(0))
 
 
 def _carry(acc):
     """Kogge-Stone carry propagation along axis -2 (limbs), u32 limbs
-    holding values < 2^32 -> clean 16-bit limbs (top carry must fit —
-    callers size buffers)."""
+    holding values < 2^32 -> clean 16-bit limbs (height preserved; the
+    callers' value-range invariants guarantee no carry out of the top
+    row)."""
     d = acc & _LIMB_MASK
     c = acc >> np.uint32(16)
-    s = d + _shiftl(c, 1)
+    s = d + _rollup(c, 1)
     g = (s >> np.uint32(16)).astype(jnp.uint32)
     p = (((s & _LIMB_MASK) + 1) >> np.uint32(16)) & 1
     n = s.shape[-2]
     shift = 1
     while shift < n:
-        g = g | (p & _shiftl(g, shift, fill=0))
-        p = p & _shiftl(p, shift, fill=1)
+        g = g | (p & _rollup(g, shift))
+        p = p & _rollup(p, shift, fill=1)
         shift *= 2
-    return (s + _shiftl(g, 1)) & _LIMB_MASK
+    return (s + _rollup(g, 1)) & _LIMB_MASK
 
 
-def _pad_rows(x, left, total):
-    """Place x at limb offset `left` in a width-`total` limb buffer."""
-    pad = [(0, 0)] * x.ndim
-    pad[-2] = (left, total - left - x.shape[-2])
-    return jnp.pad(x, pad)
+def _lo_rows(x):
+    """Zero rows >= NLIMBS (keep the canonical 16-limb value rows)."""
+    return jnp.where(_row_iota(x.shape) < np.uint32(NLIMBS), x,
+                     jnp.uint32(0))
 
 
 class _FpLazy:
-    """Lazy mod-p ops on (…, limbs, lanes) blocks.  All values in
-    [0, 2^256); fold-based reduction only (no compares, no cond-sub)."""
+    """Lazy mod-p ops on (..., H, lanes) blocks.  All values in
+    [0, 2^256) occupying rows 0..15 (rows 16..31 zero); fold-based
+    reduction only (no compares, no cond-sub)."""
 
     def __init__(self, consts):
-        # consts: (3, 16) -> broadcast rows to (16, 1) columns
-        self.d2 = consts[1][:, None]       # (16, 1) broadcasts over lanes
+        # consts: (3, H) -> broadcast rows to (H, 1) columns
+        self.d2 = consts[1][:, None]       # (H, 1) broadcasts over lanes
         self.pm37 = consts[2][:, None]
 
     @staticmethod
     def mul_wide(a, b):
-        """(…,16,W) x (…,16,W) -> (…,33,W) raw product columns,
-        carry-propagated to 16-bit limbs."""
-        total = 2 * NLIMBS + 1
+        """(...,H,W) x (...,H,W) -> (...,H,W) raw product columns (rows
+        0..31), carry-propagated to 16-bit limbs."""
         acc = None
         for i in range(NLIMBS):
-            prod = a[..., i : i + 1, :] * b  # (…,16,W) exact u32
-            term = (_pad_rows(prod & _LIMB_MASK, i, total)
-                    + _pad_rows(prod >> np.uint32(16), i + 1, total))
+            prod = a[..., i : i + 1, :] * b  # (...,H,W) exact u32
+            term = (_rollup(prod & _LIMB_MASK, i)
+                    + _rollup(prod >> np.uint32(16), i + 1))
             acc = term if acc is None else acc + term
         return _carry(acc)
 
     @staticmethod
     def fold(t):
-        """(…,17..33 limbs,W) clean 16-bit limbs -> (…,16,W) < 2^256
-        congruent mod p (2^256 === 38).  Three-stage like
-        ff/fp25519._fold; limb 32 of a 33-limb product is always zero
-        (product of two < 2^256 values), so hi is at most 16 limbs."""
-        nh = min(t.shape[-2] - NLIMBS, NLIMBS)
-        lo = t[..., :NLIMBS, :]
-        hi = t[..., NLIMBS : NLIMBS + nh, :]
+        """(...,H,W) clean 16-bit limbs (any value < 2^512) ->
+        (...,H,W) < 2^256 congruent mod p (2^256 === 38), rows 16..31
+        zero.  Three-stage like ff/fp25519._fold."""
+        lo = _lo_rows(t)
+        hi = _rolldown(t, NLIMBS)
         p38 = hi * np.uint32(38)  # limbs < 2^22, exact
-        # r = lo + 38*hi < 39 * 2^256: 17 limbs
-        acc = (_pad_rows(lo, 0, NLIMBS + 1)
-               + _pad_rows(p38 & _LIMB_MASK, 0, NLIMBS + 1)
-               + _pad_rows(p38 >> np.uint32(16), 1, NLIMBS + 1))
-        r = _carry(acc)  # (…,17,W); limb 16 < 39
-        # fold 2: r2 = r_lo + 38 * r[16], 17 limbs again
-        hi2 = r[..., NLIMBS : NLIMBS + 1, :] * np.uint32(38)
-        r2 = _carry(_pad_rows(r[..., :NLIMBS, :], 0, NLIMBS + 1)
-                    + _pad_rows(hi2, 0, NLIMBS + 1))
-        # fold 3: if limb 16 is now set (0/1), r2_lo is tiny, +38 is safe
-        top38 = r2[..., NLIMBS : NLIMBS + 1, :] * np.uint32(38)
-        return _carry(r2[..., :NLIMBS, :] + _pad_rows(top38, 0, NLIMBS))
+        # r = lo + 38*hi < 39 * 2^256: rows 0..16
+        acc = lo + (p38 & _LIMB_MASK) + _rollup(p38 >> np.uint32(16), 1)
+        r = _carry(acc)  # row 16 < 39, rows 17.. zero
+        # fold 2: r2 = r_lo + 38 * r[16]; r2 row 16 is 0 or 1
+        hi2 = _rolldown(r, NLIMBS) * np.uint32(38)  # row 0 only, < 2^11
+        r2 = _carry(_lo_rows(r) + hi2)
+        # fold 3: if row 16 is set (0/1), r2_lo is tiny, +38 is safe
+        top38 = _rolldown(r2, NLIMBS) * np.uint32(38)
+        return _carry(_lo_rows(r2) + top38)
 
     def mul(self, a, b):
         return self.fold(self.mul_wide(a, b))
 
     def add(self, a, b):
-        t = _carry(_pad_rows(a, 0, NLIMBS + 1) + _pad_rows(b, 0, NLIMBS + 1))
-        return self.fold(t)
+        return self.fold(_carry(a + b))
 
     def sub(self, a, b):
         """a - b mod p, borrow-free: a + not16(b) + (p - 37)."""
-        nb = b ^ _LIMB_MASK
-        t = _carry(_pad_rows(a, 0, NLIMBS + 1) + _pad_rows(nb, 0, NLIMBS + 1)
-                   + _pad_rows(jnp.broadcast_to(self.pm37, a.shape), 0,
-                               NLIMBS + 1))
-        return self.fold(t)
+        nb = _lo_rows(b ^ _LIMB_MASK)
+        pm = jnp.broadcast_to(self.pm37, a.shape)
+        return self.fold(_carry(a + nb + pm))
 
     def dbl(self, a):
         return self.add(a, a)
@@ -210,99 +240,91 @@ def _tree_select(d, tabs):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _msm_window_kernel(R: int, n_unroll: int,
+def _msm_window_kernel(RC: int,
                        consts_ref, scal_ref, tx_ref, ty_ref, tz_ref, tt_ref,
                        ox_ref, oy_ref, oz_ref, ot_ref):
-    """One (row-block, window) grid step: select each lane's multiple
-    and tree-sum the lanes.
+    """One (lane-block, row-block, window) grid step: select each
+    lane's multiple and tree-sum the RC lanes to one point per row.
 
-    scal:  (LB, 16, R) canonical scalar limbs (limbs on sublanes)
-    t*_ref: (16, 16, R) multiples table 0..15 (entry, limb, lane)
-    o*_ref: (LB, 16) one extended-coords point per row (lazy coords)
+    scal:  (LB, 16, RC) canonical scalar limbs (limbs on sublanes)
+    t*_ref: (16, H, RC) multiples table 0..15 (entry, limb, lane)
+    o*_ref: (1, LB, 1, 16) one extended-coords point per row (lazy)
+
+    Mosaic layout rules obeyed throughout: no jnp.pad/concatenate (see
+    the field-ops header), no lane slice at a nonzero offset — the
+    halving tree reads its high half via pltpu.roll + an offset-0
+    slice, and the lane-blocking itself is done by the BlockSpec
+    index_map (DMA), not by in-kernel slicing.
     """
-    f = _FpLazy(consts_ref[...])
-    w = pl.program_id(1)
-    limb_idx = w // 4
-    sh = (w % 4) * 4
+    global _IN_PALLAS
+    _IN_PALLAS = True  # trace-time scoping; single-threaded tracing
+    try:
+        f = _FpLazy(consts_ref[...])
+        w = pl.program_id(2)
+        limb_idx = w // 4
+        sh = (w % 4) * 4
 
-    lm = scal_ref[:, pl.ds(limb_idx, 1), :]  # (LB, 1, R)
-    d = (lm >> sh.astype(jnp.uint32)) & np.uint32(15)
+        lm = scal_ref[:, pl.ds(limb_idx, 1), :]  # (LB, 1, RC)
+        d = (lm >> sh.astype(jnp.uint32)) & np.uint32(15)
 
-    # Per-lane-half select tree (halves bound peak VMEM), then the
-    # first tree-sum level is the add of the two halves.
-    def half_sel(lo, hi):
-        tabs = [tuple(ref[e, :, lo:hi] for ref in (tx_ref, ty_ref,
-                                                   tz_ref, tt_ref))
+        tabs = [tuple(ref[e, :, :] for ref in (tx_ref, ty_ref,
+                                               tz_ref, tt_ref))
                 for e in range(16)]
-        return _tree_select(d[..., lo:hi], tabs)
+        p = _tree_select(d, tabs)  # 4-tuple of (LB, H, RC)
 
-    if R == 1:
-        p = half_sel(0, 1)
-    else:
-        p = _padd(f, half_sel(0, R // 2), half_sel(R // 2, R))
+        # Halving tree RC -> 1: lo half + rolled hi half, both offset-0.
+        width = RC
+        while width > 1:
+            half = width // 2
+            lo = tuple(c[..., :half] for c in p)
+            hi = tuple(_roll(c, half, 2)[..., :half] for c in p)
+            p = _padd(f, lo, hi)
+            width = half
 
-    # Unrolled halving while wide
-    width = R // 2
-    for _ in range(n_unroll):
-        if width <= 1:
-            break
-        half = width // 2
-        a = tuple(c[..., :half] for c in p)
-        b = tuple(c[..., half:width] for c in p)
-        p = _padd(f, a, b)
-        width = half
-
-    # Masked fixed-width dynamic-roll loop for the tail
-    if width > 1:
-        lane = lax.broadcasted_iota(jnp.uint32, (1, 1, width), 2)
-        log_w = width.bit_length() - 1
-
-        def body(i, p):
-            half = (jnp.uint32(width) >> (i + 1).astype(jnp.uint32))
-            # lane j reads j+half (mod width) == positive roll by
-            # width-half (dynamic shifts must be non-negative)
-            shift = (jnp.uint32(width) - half).astype(jnp.int32)
-            rolled = tuple(pltpu.roll(c, shift, axis=2) for c in p)
-            s = _padd(f, p, rolled)
-            m = (lane < half).astype(jnp.uint32)
-            return tuple(_sel_arith(m, sc, pc) for sc, pc in zip(s, p))
-
-        p = lax.fori_loop(0, log_w, body, p, unroll=False)
-
-    for ref, c in zip((ox_ref, oy_ref, oz_ref, ot_ref), p):
-        ref[...] = c[..., 0][None, :, :]
+        for ref, c in zip((ox_ref, oy_ref, oz_ref, ot_ref), p):
+            ref[...] = c[:, :NLIMBS, 0][None, None, :, :]
+    finally:
+        _IN_PALLAS = False
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("LB", "n_unroll", "interpret"))
+                   static_argnames=("LB", "RC", "interpret"))
 def _msm_windows_pallas(scal_t: jnp.ndarray, tab,
-                        LB: int = 4, n_unroll: int = 1,
+                        LB: int = 8, RC: int = 256,
                         interpret: bool = False):
-    """scal_t: (L, 16, R) canonical limbs; tab: 4-tuple of (16, 16, R).
-    Returns 4-tuple of (64, L, 16) lazy window sums (limbs last)."""
+    """scal_t: (L, 16, R) canonical limbs; tab: 4-tuple of (16, H, R).
+    Returns 4-tuple of (64, R // RC, L, 16) lazy per-lane-block window
+    sums (limbs last); the XLA wrapper reduces the lane-block axis.
+
+    Grid order (lane-block, row-block, window): window is minor-most so
+    the (16, H, RC) table block — the big DMA — is reused across all 64
+    windows, and the scalar block across 64 * (L/LB) steps."""
     L, _, R = scal_t.shape
-    assert L % LB == 0
-    grid = (L // LB, 64)
+    assert L % LB == 0 and R % RC == 0
+    nblk = R // RC
+    grid = (nblk, L // LB, 64)
 
     in_specs = [
-        pl.BlockSpec((3, NLIMBS), lambda g, w: (0, 0),
+        pl.BlockSpec((3, H), lambda b, g, w: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((LB, NLIMBS, R), lambda g, w: (g, 0, 0),
+        pl.BlockSpec((LB, NLIMBS, RC), lambda b, g, w: (g, 0, b),
                      memory_space=pltpu.VMEM),
     ] + [
-        pl.BlockSpec((16, NLIMBS, R), lambda g, w: (0, 0, 0),
+        pl.BlockSpec((16, H, RC), lambda b, g, w: (0, 0, b),
                      memory_space=pltpu.VMEM)
         for _ in range(4)
     ]
+    # lane-block axis placed OUTSIDE the last two dims: Mosaic requires
+    # the last two block dims to divide (8, 128) or equal the array dims
     out_specs = [
-        pl.BlockSpec((1, LB, NLIMBS), lambda g, w: (w, g, 0),
+        pl.BlockSpec((1, 1, LB, NLIMBS), lambda b, g, w: (w, b, g, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(4)
     ]
-    out_shape = [jax.ShapeDtypeStruct((64, L, NLIMBS), jnp.uint32)
+    out_shape = [jax.ShapeDtypeStruct((64, nblk, L, NLIMBS), jnp.uint32)
                  for _ in range(4)]
 
-    kern = functools.partial(_msm_window_kernel, R, n_unroll)
+    kern = functools.partial(_msm_window_kernel, RC)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -319,8 +341,10 @@ def _msm_windows_pallas(scal_t: jnp.ndarray, tab,
 # ---------------------------------------------------------------------------
 
 def _build_tab(gens):
-    """16-entry multiples table as 4 arrays (16, 16, R): entry v = v*G,
-    coords transposed to (limb, lane)."""
+    """16-entry multiples table as 4 arrays (16, H, R): entry v = v*G,
+    coords transposed to (limb, lane) and zero-padded from 16 to H=32
+    limb rows (the kernel's fixed-height layout; padding here is XLA,
+    where pad/concat are unrestricted)."""
     from . import edwards as ed
 
     tab = [ed.identity(gens.x.shape[:-1]), gens]
@@ -328,8 +352,8 @@ def _build_tab(gens):
         tab.append(ed.add(tab[v - 1], gens))
     out = []
     for c in range(4):
-        out.append(jnp.stack([jnp.swapaxes(p[c], -1, -2) for p in tab],
-                             axis=0))
+        t = jnp.stack([jnp.swapaxes(p[c], -1, -2) for p in tab], axis=0)
+        out.append(jnp.pad(t, [(0, 0), (0, H - NLIMBS), (0, 0)]))
     return tuple(out)
 
 
@@ -362,25 +386,55 @@ def _horner_windows(wins):
     return acc
 
 
+@jax.jit
+def _reduce_laneblocks(wins):
+    """wins: 4-tuple of (64, nblk, L, 16) canonical window sums ->
+    4-tuple of (64, L, 16): point-add tree over the lane-block axis
+    (vectorized over all 64*L lanes at once)."""
+    from . import edwards as ed
+
+    p = ed.PointArray(*wins)
+    nblk = p.x.shape[1]
+    while nblk > 1:
+        half = nblk // 2
+        lo = ed.PointArray(*(c[:, :half] for c in p))
+        hi = ed.PointArray(*(c[:, half:] for c in p))
+        p = ed.add(lo, hi)
+        nblk = half
+    return tuple(c[:, 0] for c in p)
+
+
 def msm_rows_pallas(scalars: jnp.ndarray, gens,
-                    LB: int = 4, n_unroll: int = 1,
+                    LB: int = 8, RC: int = 256,
                     interpret: bool = False):
     """out[l] = sum_i scalars[l,i] * gens[i].
 
     scalars: (L, R, 16) canonical limbs; gens: (R,) PointArray.
-    Drop-in equal to msm.msm_rows (same group elements)."""
+    Drop-in equal to msm.msm_rows (same group elements).  LB rows and
+    RC lanes per grid step; R is padded to a power-of-two multiple of
+    RC with identity points (zero scalars select table entry 0 =
+    identity, so padding lanes are exact no-ops)."""
     from . import edwards as ed
 
     L, R = scalars.shape[0], scalars.shape[1]
+    RC = min(RC, 1 << max((R - 1).bit_length(), 0)) if R > 1 else 1
+    rpad = (-R) % RC
+    if rpad:
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((L, rpad, 16), jnp.uint32)], axis=1)
+        idp = ed.identity((rpad,))
+        gens = ed.PointArray(*(
+            jnp.concatenate([gc, ic], axis=0) for gc, ic in zip(gens, idp)))
     tab = _build_tab(gens)
     scal_t = jnp.swapaxes(scalars, -1, -2)  # (L, 16, R)
     pad = (-L) % LB
     if pad:
         scal_t = jnp.concatenate(
-            [scal_t, jnp.zeros((pad, NLIMBS, R), jnp.uint32)], axis=0)
-    wins = _msm_windows_pallas(scal_t, tab, LB=LB, n_unroll=n_unroll,
+            [scal_t, jnp.zeros((pad, NLIMBS, R + rpad), jnp.uint32)], axis=0)
+    wins = _msm_windows_pallas(scal_t, tab, LB=LB, RC=RC,
                                interpret=interpret)
     wins = tuple(_canonicalize(c) for c in wins)
+    wins = _reduce_laneblocks(wins)
     out = _horner_windows(wins)
     if pad:
         out = ed.PointArray(*(c[:L] for c in out))

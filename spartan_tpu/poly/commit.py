@@ -92,14 +92,24 @@ def commit(Z: jnp.ndarray, gens: PolyCommitmentGens,
     _sync(rows.x)
     t.stop()
     t = Timer("commit::blinds")
-    # add blinds * h (batched scalar-mul of the fixed h, through the
-    # shared flat ladder module so every pow-of-two L_size reuses the
-    # naive-MSM executable instead of compiling its own)
-    h_tiled = ded.PointArray(
-        *(jnp.tile(c, (L_size, 1)) for c in gens.gens.gens_n.device_h)
-    )
+    # add blinds * h: batched scalar-mul of the fixed h.  Under the
+    # pallas MSM impl this is a degenerate row-MSM (R=1, shared
+    # generator h) through the SAME Mosaic kernel family — no scalar
+    # ladder module in the TPU prove path at all; otherwise it goes
+    # through the shared flat ladder module so every pow-of-two L_size
+    # reuses the naive-MSM executable instead of compiling its own.
     blind_limbs = jnp.asarray(limb.ints_to_limbs(blinds))
-    rows = ded.add(rows, dmsm.scalar_mul_padded(h_tiled, blind_limbs))
+    if dmsm._msm_impl() == "pallas":
+        from ..curve.pallas_msm import msm_rows_pallas
+
+        bh = msm_rows_pallas(blind_limbs[:, None, :],
+                             gens.gens.gens_n.device_h)
+    else:
+        h_tiled = ded.PointArray(
+            *(jnp.tile(c, (L_size, 1)) for c in gens.gens.gens_n.device_h)
+        )
+        bh = dmsm.scalar_mul_padded(h_tiled, blind_limbs)
+    rows = ded.add(rows, bh)
     _sync(rows.x)
     t.stop()
     t = Timer("commit::compress")

@@ -26,20 +26,22 @@ from ..ff import fq, limb
 from ..utils.errors import ProofVerifyError
 
 def _device_min() -> int:
-    """Rounds smaller than this fold on host python ints.  On
-    accelerators device rounds win from 256 elements (one fused
-    executable + one 64-byte fetch per round).  On the CPU backend
-    (tests/dev only) every halved shape costs minutes of local LLVM to
-    compile the fused round graph, while host rounds at test sizes are
-    microseconds — so the device path is off by default there.  Proof
+    """Rounds smaller than this fold on host python ints.  Host rounds
+    are the DEFAULT on every backend: each device round compiles one
+    fused ladder executable per halved shape (minutes each, re-paid
+    every process on the axon TPU backend, which cannot persist
+    executables), while the native-C++ host rounds cost ~10 ms at the
+    R-side sizes the prover ever sees (2^10 at 2^20 constraints) —
+    this was 3,037 s of the 4,521 s 2^14 TPU prove (PERF.md).  Proof
     bytes are identical either way (the host/device boundary is
-    bitwise-invisible); SPARTAN_TPU_BULLET_DEVICE_MIN overrides."""
+    bitwise-invisible); SPARTAN_TPU_BULLET_DEVICE_MIN opts device
+    rounds back in for warm-process serving."""
     import os
 
     v = os.environ.get("SPARTAN_TPU_BULLET_DEVICE_MIN")
     if v is not None:
         return int(v)
-    return 256 if jax.default_backend() != "cpu" else (1 << 62)
+    return 1 << 62
 
 
 def _mont(x: int) -> jnp.ndarray:

@@ -60,7 +60,11 @@ class DotProductProofLog:
         v2 = tape.random_vector(b"blinds_vec_2", lg_n)
         blinds_vec = list(zip(v1, v2))
 
-        if n >= 192:
+        # Cx commit: host native-C++ Pippenger up to 2^14 (~10 ms at the
+        # 2^10 R-side size a 2^20 prove sees) — a device msm here would
+        # compile one module per R-side shape, minutes re-paid every
+        # process on the axon backend (PERF.md compile economics).
+        if n > (1 << 14):
             x_can = fq.from_mont(x_dev)
             Cx_pt = ded.to_host(_expand(dmsm.msm(x_can, gens.gens_n.device_G)))[0]
             Cx_pt = Cx_pt.add(gens.gens_n.h.mul(blind_x % Q))

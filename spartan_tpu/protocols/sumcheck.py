@@ -35,22 +35,24 @@ from .sigma import DotProductProof
 
 def _use_device_prover() -> bool:
     """Device-resident round loops (zero host round-trips per round):
-    on by default on accelerator backends where the host<->device
-    round-trip dominates; SPARTAN_TPU_DEVICE_PROVER=0/1 overrides.
-    When a device mesh is active the sharded host-path rounds win
-    instead (the device-resident transcript is single-chip for now)."""
+    OPT-IN via SPARTAN_TPU_DEVICE_PROVER=1.  Off by default everywhere:
+    the two giant traced phase executables cost ~25 min of one-time
+    XLA/Mosaic compile for ~3 s of steady-state win at 2^20 (PERF.md
+    "compile economics"), and the axon TPU backend cannot persist
+    compiled executables across processes — so a fresh-process prove
+    pays that compile every time.  The measured-best default is the
+    BR shape-stable host-round path (two small compiles per phase).
+    Device-resident remains the right choice only for warm-process
+    repeated proving (serving), where its zero host round-trips per
+    round win.  When a device mesh is active the sharded host-path
+    rounds are used regardless (the device transcript is single-chip)."""
     import os
 
     from ..parallel import context as pctx
 
     if pctx.get_mesh() is not None:
         return False
-    v = os.environ.get("SPARTAN_TPU_DEVICE_PROVER", "auto")
-    if v in ("0", "1"):
-        return v == "1"
-    import jax
-
-    return jax.default_backend() != "cpu"
+    return os.environ.get("SPARTAN_TPU_DEVICE_PROVER", "0") == "1"
 
 
 def _to_int(x: jnp.ndarray) -> int:

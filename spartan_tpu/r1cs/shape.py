@@ -12,7 +12,6 @@ sequential fold in multiply_vec (sparse_mlpoly.rs:454-464).
 from __future__ import annotations
 
 import struct
-import zlib
 
 import numpy as np
 import jax
@@ -200,8 +199,10 @@ class R1CSShape:
         """zlib(bincode(shape)) (r1cs.rs:154-158).  bincode layout is
         reproduced field-for-field (u64 LE ints, u64-length-prefixed
         vecs, Scalars as 4xu64 Montgomery limbs, matching the derive on
-        ristretto255.rs:198).  NOTE: the deflate byte stream may differ
-        from flate2's miniz output; self-consistent either way."""
+        ristretto255.rs:198).  The deflate stream comes from the
+        vendored miniz (tdefl) compressor — the same family flate2's
+        rust_backend (miniz_oxide) ports — because madler zlib emits a
+        different stream for every nonempty input (utils/miniz.py)."""
         out = bytearray()
         out += struct.pack("<QQQ", self.num_cons, self.num_vars, self.num_inputs)
         for m in (self.A, self.B, self.C):
@@ -220,7 +221,9 @@ class R1CSShape:
             rec["c"] = m._cols_np
             rec["s"] = np.asarray(m.vals).astype("<u2")
             out += rec.tobytes()
-        return zlib.compress(bytes(out), 6)
+        from ..utils import miniz
+
+        return miniz.zlib_stream(bytes(out), 6)
 
     def multiply_vec(self, z: jnp.ndarray, bitrev: bool = False):
         n, m = self.num_cons, z.shape[0]

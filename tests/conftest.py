@@ -3,6 +3,41 @@ sharding tests stand in for a TPU pod slice (SURVEY.md §4: sharded-vs-
 single-chip equality on a CPU mesh)."""
 
 import os
+import sys
+
+# The axon TPU plugin (sitecustomize, activated by PALLAS_AXON_POOL_IPS)
+# routes EVERY XLA compile — CPU included — through a serial remote
+# compile relay that queues ~1-2 s per module.  This suite is CPU-only
+# by design and performs hundreds of small compiles (e.g. test_golden
+# alone: 483 modules, 187 s of actual LLVM vs ~16 min of queueing), so
+# re-exec the interpreter once with the plugin disarmed: compiles then
+# run locally and the default tier finishes in minutes, not hours.
+if os.environ.get("PALLAS_AXON_POOL_IPS") and \
+        not os.environ.get("SPARTAN_TPU_TEST_REEXEC"):
+    # pytest loads initial conftests under global fd capture (capture.py
+    # pytest_load_initial_conftests); the saved original fds are
+    # CLOEXEC, so exec'ing now would leave the new pytest writing into
+    # orphaned capture temp files.  Stop the capture first (restores
+    # the real stdout/stderr onto fds 1/2), then exec.
+    try:
+        import gc
+
+        from _pytest.capture import CaptureManager
+
+        for _obj in gc.get_objects():
+            if isinstance(_obj, CaptureManager):
+                _obj.stop_global_capturing()
+                break
+    except Exception:
+        pass
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS")
+    env["SPARTAN_TPU_TEST_REEXEC"] = "1"  # loop guard
+    env["JAX_PLATFORMS"] = "cpu"
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env exposes an experimental TPU tunnel
 flags = os.environ.get("XLA_FLAGS", "")

@@ -129,19 +129,6 @@ def test_msm_rows_vs_per_row():
         assert hri.encode(got[j]) == _host_msm(ks[j], pts), f"row {j}"
 
 
-def test_msm_win_t_vs_host():
-    """Transposed-layout (limb-first) windowed MSM vs host oracle."""
-    L, R = 2, 4
-    pts = rand_points(R)
-    gens = ed.from_host(pts)
-    ks = rand_scalars(L * R)
-    scal = jnp.asarray(limb.ints_to_limbs(ks)).reshape(L, R, 16)
-    got = ed.to_host(msm_mod._msm_rows_win_t_jit(scal, gens))
-    for j in range(L):
-        assert hri.encode(got[j]) == _host_msm(ks[j * R:(j + 1) * R], pts), \
-            f"row {j}"
-
-
 def test_msm_chunked_equality(monkeypatch):
     """Row-chunked and single-launch MSMs must agree (same group
     elements; compare compressed bytes)."""

@@ -1,12 +1,22 @@
-"""Pallas windowed row-MSM kernel vs the host oracle (interpret mode).
+"""Pallas windowed row-MSM kernel vs the host oracle.
 
-The compiled-Mosaic path is exercised on real hardware by bench.py /
-profiler runs; CI runs the interpreter, which executes the identical
-kernel trace (ref parity: group.rs:98-117, dense_mlpoly.rs:148-162)."""
+Two tiers:
+  * fast — the kernel's lazy fixed-height field ops (_FpLazy) checked
+    directly against python-int arithmetic (pltpu.roll substituted
+    with jnp.roll via the _roll indirection), including the maximal
+    lazy values.  These are the only nontrivial math in the kernel;
+    the rest (select tree, halving tree) is data movement.
+  * slow — full msm_rows_pallas in interpret mode (the whole grid
+    unrolls into one XLA graph: minutes of local LLVM).  The compiled
+    Mosaic path is exercised on real hardware by
+    artifacts/probe_pallas_tpu.py (committed logs) and bench runs.
+(ref parity: group.rs:98-117, dense_mlpoly.rs:148-162)"""
 
 import hashlib
 import random
 
+import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from spartan_tpu.core import ristretto as hri
@@ -39,23 +49,114 @@ def _host_msm(ks, pts):
     return hri.encode(acc)
 
 
-def _check(L, R, LB, n_unroll):
+def _check(L, R, LB, RC):
     pts = _rand_points(R)
     gens = ed.from_host(pts)
     ks = _rand_scalars(L * R)
     scal = jnp.asarray(limb.ints_to_limbs(ks)).reshape(L, R, 16)
     got = ed.to_host(pallas_msm.msm_rows_pallas(
-        scal, gens, LB=LB, n_unroll=n_unroll, interpret=True))
+        scal, gens, LB=LB, RC=RC, interpret=True))
     for l in range(L):
         want = _host_msm(ks[l * R:(l + 1) * R], pts)
         assert hri.encode(got[l]) == want, f"row {l} (L={L},R={R})"
 
 
+@pytest.mark.slow
 def test_pallas_msm_rows_tiny():
-    _check(L=4, R=16, LB=4, n_unroll=1)
+    _check(L=4, R=16, LB=4, RC=16)
 
 
-def test_pallas_msm_rows_row_pad_and_deep_tree():
-    # L=3 exercises the LB row padding; R=32 exercises a longer
-    # masked-roll tail (widths 8..1)
-    _check(L=3, R=32, LB=2, n_unroll=2)
+@pytest.mark.slow
+def test_pallas_msm_rows_row_pad_and_laneblocks():
+    # L=3 exercises the LB row padding; RC=8 < R=32 exercises the
+    # lane-block grid axis + the XLA-side lane-block point reduction
+    _check(L=3, R=32, LB=2, RC=8)
+
+
+@pytest.mark.slow
+def test_pallas_msm_rows_lane_pad():
+    # R=24 is not a multiple of RC: identity-point lane padding
+    _check(L=2, R=24, LB=2, RC=16)
+
+
+# ---------------------------------------------------------------------------
+# fast tier: _FpLazy vs python ints
+# ---------------------------------------------------------------------------
+
+from spartan_tpu.core.field import P25519 as _P
+from spartan_tpu.curve import pallas_msm as _pm
+
+
+def _to_arr(vals, W):
+    a = np.zeros((_pm.H, W), np.uint32)
+    for w, v in enumerate(vals):
+        for i in range(16):
+            a[i, w] = (v >> (16 * i)) & 0xFFFF
+    return jnp.asarray(a)
+
+
+def _to_ints(arr, W):
+    a = np.asarray(arr)
+    return [sum(int(a[i, w]) << (16 * i) for i in range(_pm.H))
+            for w in range(W)]
+
+
+def test_fplazy_field_ops_vs_python_ints(monkeypatch):
+    monkeypatch.setattr(_pm, "_roll",
+                        lambda x, k, axis: jnp.roll(x, k, axis))
+    W = 4
+    f = _pm._FpLazy(jnp.asarray(_pm._CONSTS))
+    A = [rng.randrange(1 << 256) for _ in range(W)]
+    B = [rng.randrange(1 << 256) for _ in range(W)]
+    a, b = _to_arr(A, W), _to_arr(B, W)
+
+    got = _to_ints(f.mul(a, b), W)
+    assert [g % _P for g in got] == [(x * y) % _P for x, y in zip(A, B)]
+    assert all(g < (1 << 256) for g in got)  # lazy invariant
+
+    got = _to_ints(f.add(a, b), W)
+    assert [g % _P for g in got] == [(x + y) % _P for x, y in zip(A, B)]
+    got = _to_ints(f.sub(a, b), W)
+    assert [g % _P for g in got] == [(x - y) % _P for x, y in zip(A, B)]
+
+
+def test_fplazy_extremes(monkeypatch):
+    monkeypatch.setattr(_pm, "_roll",
+                        lambda x, k, axis: jnp.roll(x, k, axis))
+    W = 4
+    f = _pm._FpLazy(jnp.asarray(_pm._CONSTS))
+    M = (1 << 256) - 1  # maximal lazy value
+    for A, B in [([M] * W, [M] * W), ([0] * W, [M] * W),
+                 ([_P] * W, [_P - 1] * W), ([1] * W, [0] * W)]:
+        a, b = _to_arr(A, W), _to_arr(B, W)
+        for op, ref in [(f.mul, lambda x, y: x * y),
+                        (f.add, lambda x, y: x + y),
+                        (f.sub, lambda x, y: x - y)]:
+            got = _to_ints(op(a, b), W)
+            assert [g % _P for g in got] == \
+                [ref(x, y) % _P for x, y in zip(A, B)]
+            assert all(g < (1 << 256) for g in got)
+
+
+def test_padd_vs_host_edwards(monkeypatch):
+    """The kernel's unified extended-coords addition vs core.edwards."""
+    monkeypatch.setattr(_pm, "_roll",
+                        lambda x, k, axis: jnp.roll(x, k, axis))
+    from spartan_tpu.core import ristretto as hri
+    from spartan_tpu.core.edwards import Point
+
+    W = 2
+    f = _pm._FpLazy(jnp.asarray(_pm._CONSTS))
+    pts1 = _rand_points(W)
+    pts2 = _rand_points(W)
+
+    def pack(pts):
+        return tuple(_to_arr([getattr(p, c) for p in pts], W)
+                     for c in ("X", "Y", "Z", "T"))
+
+    out = _pm._padd(f, pack(pts1), pack(pts2))
+    ox, oy, oz, ot = (_to_ints(c, W) for c in out)
+    for w in range(W):
+        want = pts1[w].add(pts2[w])
+        got = Point(ox[w] % _P, oy[w] % _P, oz[w] % _P, ot[w] % _P)
+        assert hri.encode(got) == hri.encode(want)
