@@ -478,6 +478,10 @@ def _msm_impl() -> str:
 
     v = os.environ.get("SPARTAN_TPU_MSM_IMPL")
     if v is not None:
+        known = {"pallas", "pippenger"} | set(_DENSE_MSM_JIT)
+        if v not in known:
+            raise ValueError(
+                f"SPARTAN_TPU_MSM_IMPL={v!r} is not one of {sorted(known)}")
         return v
     return "pallas" if jax.default_backend() != "cpu" else "naive"
 

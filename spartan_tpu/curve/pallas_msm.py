@@ -396,6 +396,18 @@ def _reduce_laneblocks(wins):
     p = ed.PointArray(*wins)
     nblk = p.x.shape[1]
     while nblk > 1:
+        if nblk % 2:
+            # odd width: fold the trailing block into block 0 first so
+            # the halving below sees matched lo/hi halves (the caller
+            # pads to a power of two, but stay correct regardless)
+            last = ed.PointArray(*(c[:, nblk - 1:nblk] for c in p))
+            head = ed.PointArray(*(c[:, :1] for c in p))
+            merged = ed.add(head, last)
+            p = ed.PointArray(*(
+                jnp.concatenate([mc, c[:, 1:nblk - 1]], axis=1)
+                for mc, c in zip(merged, p)))
+            nblk -= 1
+            continue
         half = nblk // 2
         lo = ed.PointArray(*(c[:, :half] for c in p))
         hi = ed.PointArray(*(c[:, half:] for c in p))
@@ -411,14 +423,16 @@ def msm_rows_pallas(scalars: jnp.ndarray, gens,
 
     scalars: (L, R, 16) canonical limbs; gens: (R,) PointArray.
     Drop-in equal to msm.msm_rows (same group elements).  LB rows and
-    RC lanes per grid step; R is padded to a power-of-two multiple of
-    RC with identity points (zero scalars select table entry 0 =
-    identity, so padding lanes are exact no-ops)."""
+    RC lanes per grid step; R is padded with identity points (zero
+    scalars select table entry 0 = identity, so padding lanes are
+    exact no-ops) to RC * 2^k lanes — a power-of-two lane-block count,
+    which _reduce_laneblocks's halving tree requires."""
     from . import edwards as ed
 
     L, R = scalars.shape[0], scalars.shape[1]
     RC = min(RC, 1 << max((R - 1).bit_length(), 0)) if R > 1 else 1
-    rpad = (-R) % RC
+    nblk_p2 = 1 << max((-(-R // RC) - 1).bit_length(), 0)
+    rpad = RC * nblk_p2 - R
     if rpad:
         scalars = jnp.concatenate(
             [scalars, jnp.zeros((L, rpad, 16), jnp.uint32)], axis=1)

@@ -259,12 +259,15 @@ class R1CSShape:
 
     @staticmethod
     def produce_synthetic(num_cons: int, num_vars: int, num_inputs: int,
-                          seed: int = 0):
+                          seed: int | None = 0):
         """Synthetic satisfiable instance (r1cs.rs:160-238): one entry
-        per row per matrix at rotating columns."""
+        per row per matrix at rotating columns.  Deterministic for any
+        integer seed (including 0 — `seed or None` used to fall
+        through to OS entropy, making fixture digests irreproducible);
+        pass seed=None explicitly for an OsRng-style instance."""
         import random as _random
 
-        rng = _random.Random(seed or None)
+        rng = _random.Random(seed)
         size_z = num_vars + num_inputs + 1
         Z = [rng.randrange(Q) for _ in range(size_z)]
         Z[num_vars] = 1

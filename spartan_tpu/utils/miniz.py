@@ -83,7 +83,11 @@ def compress(data: bytes, level: int = 6) -> bytes:
     if fn is None:
         raise RuntimeError("no vendored miniz found")
     n = len(data)
-    cap = n + (n >> 6) + 128  # > mz_compressBound for stored blocks
+    # mz_compressBound: 110% + 128, but never below the stored-block
+    # worst case (5 B of block header per 31 KB) — high-entropy bincode
+    # (Montgomery scalars) can be incompressible (ADVICE r3 low)
+    cap = max(128 + n * 110 // 100,
+              128 + n + (n // (31 * 1024) + 1) * 5)
     dst = ctypes.create_string_buffer(cap)
     dlen = ctypes.c_ulong(cap)
     rc = fn(dst, ctypes.byref(dlen), data, n, int(level))
@@ -94,9 +98,27 @@ def compress(data: bytes, level: int = 6) -> bytes:
     return out
 
 
+_warned_fallback = False
+
+
 def zlib_stream(data: bytes, level: int = 6) -> bytes:
     """The reference-parity stream: vendored miniz when available,
-    madler zlib otherwise (documented divergence)."""
+    madler zlib otherwise (documented divergence).  The fallback emits
+    a one-time loud warning because it changes the instance digest —
+    proofs made under madler will not cross-verify with miniz-digest
+    proofs (ADVICE r3 medium)."""
     if available():
         return compress(data, level)
+    global _warned_fallback
+    if not _warned_fallback and os.environ.get("SPARTAN_TPU_MINIZ", "1") != "0":
+        import warnings
+
+        warnings.warn(
+            "spartan_tpu: no vendored miniz found — falling back to "
+            "madler zlib for the instance digest.  Digests (and hence "
+            "transcripts) will differ from miniz-based environments; "
+            "set SPARTAN_TPU_MINIZ=0 to silence or "
+            "SPARTAN_TPU_MINIZ_LIB to point at a miniz shared object.",
+            RuntimeWarning, stacklevel=2)
+        _warned_fallback = True
     return zlib.compress(data, level)

@@ -79,6 +79,28 @@ def test_pallas_msm_rows_lane_pad():
     _check(L=2, R=24, LB=2, RC=16)
 
 
+@pytest.mark.slow
+def test_pallas_msm_rows_nonpow2_laneblocks():
+    # R=20, RC=8 -> ceil(R/RC)=3 lane blocks: must pad to 4 (a power
+    # of two) or the halving reduction drops block 2 (ADVICE r3 high)
+    _check(L=2, R=20, LB=2, RC=8)
+
+
+@pytest.mark.parametrize("nblk", [2, 3, 5, 6])
+def test_reduce_laneblocks_any_width(nblk):
+    # _reduce_laneblocks must sum ALL lane blocks for any width, not
+    # just powers of two (regression: nblk=3 silently returned b0+b1)
+    pts = _rand_points(nblk)
+    gens = ed.from_host(pts)
+    blocks = tuple(c[None, :, None, :] for c in gens)  # (1, nblk, 1, 16)
+    out = pallas_msm._reduce_laneblocks(blocks)
+    got = ed.to_host(ed.PointArray(*(c.reshape(1, 16) for c in out)))[0]
+    want = Point.identity()
+    for p in pts:
+        want = want.add(p)
+    assert hri.encode(got) == hri.encode(want)
+
+
 # ---------------------------------------------------------------------------
 # fast tier: _FpLazy vs python ints
 # ---------------------------------------------------------------------------

@@ -108,3 +108,56 @@ def test_malformed_proof_fuzz(small_instance):
         else:
             raise AssertionError(f"mutant {trial} verified!")
     assert n_rejected == 48
+
+
+# ---------------------------------------------------------------------------
+# miniz deflate-stream fixtures (VERDICT r3 next #8, ADVICE r3 medium)
+# ---------------------------------------------------------------------------
+
+_MINIZ_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "golden", "miniz")
+
+
+def _fixture(name):
+    import os
+
+    with open(os.path.join(_MINIZ_DIR, name + ".deflate"), "rb") as f:
+        return f.read()
+
+
+def test_miniz_fixtures_payloads():
+    """zlib_stream must reproduce the committed C-miniz streams byte
+    for byte.  A madler fallback emits different (valid) streams for
+    every nonempty input, which silently changes the instance digest —
+    this test turns that into a loud failure."""
+    from spartan_tpu.utils import miniz
+
+    if not miniz.available():
+        pytest.skip("vendored miniz unavailable: instance digests on "
+                    "this box use the DIVERGENT madler fallback and "
+                    "will not cross-verify (see PARITY.md)")
+
+    import sys
+
+    sys.path.insert(0, _MINIZ_DIR + "/..")
+    from gen_miniz_fixtures import payloads
+
+    for name, data in payloads():
+        assert miniz.zlib_stream(data, 6) == _fixture(name), name
+
+
+def test_miniz_fixtures_instance_digests():
+    """Instance digests of the test-matrix shapes match the committed
+    streams (pins digest stability across environments and rounds)."""
+    from spartan_tpu.utils import miniz
+
+    if not miniz.available():
+        pytest.skip("vendored miniz unavailable (madler digest divergence)")
+
+    import sys
+
+    sys.path.insert(0, __import__("os").path.dirname(_MINIZ_DIR))
+    from gen_miniz_fixtures import digest_payloads
+
+    for name, stream in digest_payloads():
+        assert stream == _fixture(name), name
