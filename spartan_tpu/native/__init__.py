@@ -71,6 +71,16 @@ def _build_and_load() -> ctypes.CDLL | None:
         ctypes.c_char_p, size_t, ctypes.c_char_p]
     lib.spartan_ristretto_from_uniform.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p]
+
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.spartan_fq_eq_evals.argtypes = [ctypes.c_char_p, size_t,
+                                        ctypes.c_char_p]
+    lib.spartan_fq_sparse_eval.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, u64p, u64p, ctypes.c_char_p,
+        size_t, ctypes.c_char_p]
+    lib.spartan_fq_spmv.argtypes = [
+        u64p, u64p, ctypes.c_char_p, size_t, ctypes.c_char_p, size_t,
+        ctypes.c_char_p]
     del u8p
     return lib
 
@@ -89,3 +99,71 @@ def get_lib() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# Host-path scalar-field (mod q) batch helpers — the verifier's
+# eval_sparse_polys (r1cs.rs:300-303) is latency-bound public-data work
+# that must never pay an XLA compile; these run on the C++ Montgomery
+# core in host_crypto.cpp.
+# ---------------------------------------------------------------------------
+
+def fq_eq_evals_mont(r_ints: list[int]) -> bytes:
+    """eq(r, x) hypercube table (dense_mlpoly.rs:68-84 ordering,
+    r[0] = top variable) as 2^ell 32-byte LE Montgomery entries."""
+    import ctypes as _ct
+
+    lib = get_lib()
+    assert lib is not None
+    ell = len(r_ints)
+    rb = b"".join(int(x).to_bytes(32, "little") for x in r_ints)
+    out = _ct.create_string_buffer(32 << ell)
+    lib.spartan_fq_eq_evals(rb, ell, out)
+    return out.raw
+
+
+def fq_sparse_eval(eq_rx: bytes, eq_ry: bytes, rows, cols,
+                   vals_mont: bytes) -> int:
+    """sum_k eq_rx[rows[k]] * eq_ry[cols[k]] * vals[k] mod q.
+    rows/cols: numpy uint64 arrays; vals_mont: nnz 32-byte LE
+    Montgomery entries (the device limb layout, 16x u16 LE)."""
+    import ctypes as _ct
+
+    import numpy as np
+
+    lib = get_lib()
+    assert lib is not None
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    cols = np.ascontiguousarray(cols, dtype=np.uint64)
+    nnz = rows.shape[0]
+    assert len(vals_mont) == 32 * nnz
+    out = _ct.create_string_buffer(32)
+    u64p = _ct.POINTER(_ct.c_uint64)
+    lib.spartan_fq_sparse_eval(
+        eq_rx, eq_ry, rows.ctypes.data_as(u64p), cols.ctypes.data_as(u64p),
+        vals_mont, nnz, out)
+    return int.from_bytes(out.raw, "little")
+
+
+def fq_spmv(rows, cols, vals_mont: bytes, z_mont: bytes,
+            num_rows: int) -> list[int]:
+    """out[rows[k]] += vals[k] * z[cols[k]] mod q (multiply_vec,
+    sparse_mlpoly.rs:454-464); returns plain ints."""
+    import ctypes as _ct
+
+    import numpy as np
+
+    lib = get_lib()
+    assert lib is not None
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    cols = np.ascontiguousarray(cols, dtype=np.uint64)
+    nnz = rows.shape[0]
+    assert len(vals_mont) == 32 * nnz
+    out = _ct.create_string_buffer(32 * num_rows)
+    u64p = _ct.POINTER(_ct.c_uint64)
+    lib.spartan_fq_spmv(
+        rows.ctypes.data_as(u64p), cols.ctypes.data_as(u64p), vals_mont,
+        nnz, z_mont, num_rows, out)
+    raw = out.raw
+    return [int.from_bytes(raw[32 * i:32 * i + 32], "little")
+            for i in range(num_rows)]

@@ -733,3 +733,180 @@ extern "C" void spartan_ristretto_from_uniform(const u8 in[64], u8* out_blob) {
   ge_add(&r, &p0, &p1);
   ge_toblob(out_blob, &r);
 }
+
+// ---------------------------------------------------------------------------
+// Scalar field Fq, q = 2^252 + 27742317777372353535851937790883648493
+// (ristretto255 group order).  4x u64 limbs, Montgomery form (R = 2^256),
+// textbook CIOS multiplication with unsigned __int128 — the host-side
+// batch arithmetic behind the verifier's eval_sparse_polys
+// (reference r1cs.rs:300-303): latency-bound public-data work that
+// should never wait on an XLA compile.
+// ---------------------------------------------------------------------------
+
+typedef unsigned __int128 u128;
+
+struct fq { u64 v[4]; };
+
+static const fq FQ_Q = {{0x5812631a5cf5d3edULL, 0x14def9dea2f79cd6ULL,
+                         0x0ULL, 0x1000000000000000ULL}};
+static const u64 FQ_INV = 0xd2b51da312547e1bULL;  // -q^-1 mod 2^64
+static const fq FQ_R2 = {{0xa40611e3449c0f01ULL, 0xd00e1ba768859347ULL,
+                          0xceec73d217f5be65ULL, 0x0399411b7c309a3dULL}};
+static const fq FQ_ONE_M = {{0xd6ec31748d98951dULL, 0xc6ef5bf4737dcf70ULL,
+                             0xfffffffffffffffeULL, 0x0fffffffffffffffULL}};
+
+static inline void fq_cond_sub_q(fq* a) {
+  // a -= q if a >= q (a < 2q on entry)
+  u64 b[4]; u128 brw = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)a->v[i] - FQ_Q.v[i] - (u64)brw;
+    b[i] = (u64)d;
+    brw = (d >> 64) & 1;  // 1 if borrow
+  }
+  if (!brw) for (int i = 0; i < 4; i++) a->v[i] = b[i];
+}
+
+static void fq_mont_mul(fq* out, const fq* a, const fq* b) {
+  // CIOS: t has 5 limbs; one reduction step per a-limb.
+  u64 t[5] = {0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; i++) {
+    u128 c = 0;
+    for (int j = 0; j < 4; j++) {
+      u128 s = (u128)t[j] + (u128)a->v[i] * b->v[j] + (u64)c;
+      t[j] = (u64)s;
+      c = s >> 64;
+    }
+    u128 s4 = (u128)t[4] + (u64)c;
+    u64 t5 = (u64)(s4 >> 64);
+    t[4] = (u64)s4;
+    u64 m = t[0] * FQ_INV;
+    c = ((u128)t[0] + (u128)m * FQ_Q.v[0]) >> 64;
+    for (int j = 1; j < 4; j++) {
+      u128 s = (u128)t[j] + (u128)m * FQ_Q.v[j] + (u64)c;
+      t[j - 1] = (u64)s;
+      c = s >> 64;
+    }
+    u128 s = (u128)t[4] + (u64)c;
+    t[3] = (u64)s;
+    t[4] = t5 + (u64)(s >> 64);
+  }
+  for (int i = 0; i < 4; i++) out->v[i] = t[i];
+  fq_cond_sub_q(out);  // t[4] is 0 here: a,b < q => result < 2q
+}
+
+static inline void fq_add(fq* out, const fq* a, const fq* b) {
+  u128 c = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 s = (u128)a->v[i] + b->v[i] + (u64)c;
+    out->v[i] = (u64)s;
+    c = s >> 64;
+  }
+  fq_cond_sub_q(out);
+}
+
+static inline void fq_sub(fq* out, const fq* a, const fq* b) {
+  u128 brw = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 d = (u128)a->v[i] - b->v[i] - (u64)brw;
+    out->v[i] = (u64)d;
+    brw = (d >> 64) & 1;
+  }
+  if (brw) {
+    u128 c = 0;
+    for (int i = 0; i < 4; i++) {
+      u128 s = (u128)out->v[i] + FQ_Q.v[i] + (u64)c;
+      out->v[i] = (u64)s;
+      c = s >> 64;
+    }
+  }
+}
+
+// Bytes are 32 B little-endian.  to_mont multiplies by R^2; from_mont
+// multiplies by 1.
+static inline void fq_frombytes(fq* out, const u8* p) {
+  for (int i = 0; i < 4; i++) {
+    u64 v = 0;
+    for (int j = 7; j >= 0; j--) v = (v << 8) | p[i * 8 + j];
+    out->v[i] = v;
+  }
+}
+
+static inline void fq_tobytes(u8* p, const fq* a) {
+  for (int i = 0; i < 4; i++)
+    for (int j = 0; j < 8; j++) p[i * 8 + j] = (u8)(a->v[i] >> (8 * j));
+}
+
+// eq(r, x) table over the Boolean hypercube, MSB-first (r[0] is the
+// top variable — dense_mlpoly.rs:68-84 ordering): out has 2^ell
+// 32-byte Montgomery-form entries.  Inputs r are PLAIN 32-byte LE
+// scalars; the table doubles in place per variable.
+extern "C" void spartan_fq_eq_evals(const u8* r_bytes, size_t ell,
+                                    u8* out) {
+  size_t n = (size_t)1 << ell;
+  fq* tab = new fq[n];
+  tab[0] = FQ_ONE_M;
+  size_t sz = 1;
+  for (size_t j = 0; j < ell; j++) {
+    fq rj, rj_m, one_minus;
+    fq_frombytes(&rj, r_bytes + 32 * j);
+    fq_mont_mul(&rj_m, &rj, &FQ_R2);
+    fq_sub(&one_minus, &FQ_ONE_M, &rj_m);
+    for (size_t i = sz; i-- > 0;) {
+      fq lo, hi;
+      fq_mont_mul(&hi, &tab[i], &rj_m);
+      fq_mont_mul(&lo, &tab[i], &one_minus);
+      tab[2 * i] = lo;
+      tab[2 * i + 1] = hi;
+    }
+    sz *= 2;
+  }
+  for (size_t i = 0; i < n; i++) fq_tobytes(out + 32 * i, &tab[i]);
+  delete[] tab;
+}
+
+// sum_k eq_rx[rows[k]] * eq_ry[cols[k]] * vals[k]: the verifier's
+// sparse-poly evaluation (sparse_mlpoly.rs:440-452).  eq tables and
+// vals are Montgomery-form 32-byte LE entries (vals straight from the
+// device limb arrays, which store v*R mod q); the result is a PLAIN
+// 32-byte LE scalar.
+extern "C" void spartan_fq_sparse_eval(const u8* eq_rx, const u8* eq_ry,
+                                       const u64* rows, const u64* cols,
+                                       const u8* vals, size_t nnz,
+                                       u8* out32) {
+  fq acc = {{0, 0, 0, 0}};
+  for (size_t k = 0; k < nnz; k++) {
+    fq a, b, v, t;
+    fq_frombytes(&a, eq_rx + 32 * rows[k]);
+    fq_frombytes(&b, eq_ry + 32 * cols[k]);
+    fq_frombytes(&v, vals + 32 * k);
+    fq_mont_mul(&t, &a, &b);      // (eqrx*eqry) R
+    fq_mont_mul(&t, &t, &v);      // (eqrx*eqry*val) R
+    fq_add(&acc, &acc, &t);
+  }
+  fq one = {{1, 0, 0, 0}};
+  fq_mont_mul(&acc, &acc, &one);  // from Montgomery
+  fq_tobytes(out32, &acc);
+}
+
+// Az[rows[k]] += vals[k] * z[cols[k]] — host SpMV (multiply_vec,
+// sparse_mlpoly.rs:454-464).  vals and z Montgomery 32-byte LE; out
+// (num_rows entries) PLAIN 32-byte LE.
+extern "C" void spartan_fq_spmv(const u64* rows, const u64* cols,
+                                const u8* vals, size_t nnz, const u8* z,
+                                size_t num_rows, u8* out) {
+  fq* acc = new fq[num_rows]();
+  for (size_t k = 0; k < nnz; k++) {
+    fq v, zz, t;
+    fq_frombytes(&v, vals + 32 * k);
+    fq_frombytes(&zz, z + 32 * cols[k]);
+    fq_mont_mul(&t, &v, &zz);  // val*z*R: both Montgomery
+    fq_add(&acc[rows[k]], &acc[rows[k]], &t);
+  }
+  fq one = {{1, 0, 0, 0}};
+  for (size_t i = 0; i < num_rows; i++) {
+    fq r;
+    fq_mont_mul(&r, &acc[i], &one);
+    fq_tobytes(out + 32 * i, &r);
+  }
+  delete[] acc;
+}

@@ -112,20 +112,70 @@ class SparseMatPolynomial:
         prod = fq.mul(fq.mul(eq_rx[self.rows], eq_ry[self.cols]), self.vals)
         return fq.decode_to_ints(fq.sum_mod(prod, axis=0)[None])[0]
 
+    def vals_mont_bytes(self) -> bytes:
+        """The (nnz, 16) Montgomery limb table as nnz 32-byte LE
+        entries (one device->host fetch, cached; no compile)."""
+        if getattr(self, "_vals_mont_bytes", None) is None:
+            self._vals_mont_bytes = (
+                np.asarray(self.vals).astype("<u2").tobytes())
+        return self._vals_mont_bytes
+
     @staticmethod
     def multi_evaluate(polys: list["SparseMatPolynomial"], rx: list[int],
                        ry: list[int]) -> list[int]:
-        """One fused executable + ONE device->host fetch for all
-        matrices (the verifier's eval_sparse_polys — r1cs.rs:300-303).
-        An op-by-op evaluation costs dozens of relay round-trips; this
-        is the difference between ~26 s and sub-second NIZK::verify at
-        2^20 on the tunneled backend."""
+        """The verifier's eval_sparse_polys (r1cs.rs:300-303).
+
+        Default path is HOST-side (native C++ Montgomery batch ops):
+        verification is public-data, latency-bound work that should
+        never wait on an XLA compile — the fused device formulation
+        cost ~100 s of per-process compile at 2^14 on the tunneled TPU
+        backend vs milliseconds here.  SPARTAN_TPU_EVAL_SPARSE=device
+        selects the fused one-executable device path (useful when the
+        tables are already resident and the process is warm)."""
+        import os
+
+        from .. import native
+
+        mode = os.environ.get("SPARTAN_TPU_EVAL_SPARSE", "host")
+        if mode != "device" and native.available():
+            eq_rx = native.fq_eq_evals_mont(rx)
+            eq_ry = native.fq_eq_evals_mont(ry)
+            return [
+                native.fq_sparse_eval(
+                    eq_rx, eq_ry, p._rows_np, p._cols_np,
+                    p.vals_mont_bytes())
+                for p in polys
+            ]
+        if mode != "device":
+            # pure-python fallback (no native toolchain): O(2^ell + nnz)
+            eqx = _eq_evals_host_py(rx)
+            eqy = _eq_evals_host_py(ry)
+            outs = []
+            for p in polys:
+                total = 0
+                for r, c, v in p.entries_ints():
+                    total += eqx[r] * eqy[c] % Q * v
+                outs.append(total % Q)
+            return outs
         rx_m = fq.to_mont(jnp.asarray(fq.encode_ints(rx)))
         ry_m = fq.to_mont(jnp.asarray(fq.encode_ints(ry)))
         outs = _multi_eval_jit(
             tuple((p.rows, p.cols, p.vals) for p in polys),
             rx_m, ry_m, len(rx), len(ry))
         return fq.decode_to_ints(outs)
+
+
+def _eq_evals_host_py(r: list[int]) -> list[int]:
+    """eq(r, x) table with python ints (dense_mlpoly.rs:68-84 order)."""
+    tab = [1]
+    for rj in r:
+        nxt = []
+        for t in tab:
+            hi = t * rj % Q
+            nxt.append((t - hi) % Q)
+            nxt.append(hi)
+        tab = nxt
+    return tab
 
 
 @partial(jax.jit, static_argnames=("ell_x", "ell_y"))
