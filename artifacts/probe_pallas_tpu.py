@@ -41,18 +41,21 @@ def main():
     ap.add_argument("--lb", type=int, default=8)
     ap.add_argument("--rc", type=int, default=256)
     ap.add_argument("--skip-correct", action="store_true")
+    ap.add_argument("--lean", type=int, default=None)
+    ap.add_argument("--clr", nargs=2, type=int, default=[4, 16],
+                    help="correctness-check (L, R)")
     args = ap.parse_args()
     log(f"backend={jax.default_backend()}")
     rng = random.Random(7)
 
     if not args.skip_correct:
-        L, R = 4, 16
+        L, R = args.clr
         pts = rand_points(R, rng)
         gens = ed.from_host(pts)
         ks = [0, 1, 2, Q - 1] + [rng.randrange(Q) for _ in range(L * R - 4)]
         scal = jnp.asarray(limb.ints_to_limbs(ks)).reshape(L, R, 16)
         log(f"correctness: compiling + running L={L} R={R}")
-        out = pallas_msm.msm_rows_pallas(scal, gens, LB=args.lb, RC=args.rc)
+        out = pallas_msm.msm_rows_pallas(scal, gens, LB=args.lb, RC=args.rc, lean=args.lean)
         got = ed.to_host(out)
         for l in range(L):
             want = Point.identity()
@@ -72,12 +75,12 @@ def main():
         scal = jnp.asarray(limb.ints_to_limbs(ks)).reshape(L, R, 16)
         log("warmup (compiles)")
         t0 = time.perf_counter()
-        out = pallas_msm.msm_rows_pallas(scal, gens, LB=args.lb, RC=args.rc)
+        out = pallas_msm.msm_rows_pallas(scal, gens, LB=args.lb, RC=args.rc, lean=args.lean)
         jax.block_until_ready(out.x)
         log(f"cold {time.perf_counter()-t0:.1f}s")
         for i in range(args.reps):
             t0 = time.perf_counter()
-            out = pallas_msm.msm_rows_pallas(scal, gens, LB=args.lb, RC=args.rc)
+            out = pallas_msm.msm_rows_pallas(scal, gens, LB=args.lb, RC=args.rc, lean=args.lean)
             jax.block_until_ready(out.x)
             dt = time.perf_counter() - t0
             log(f"warm rep {i}: {dt:.3f}s  ({L*R/dt/1e6:.3f} M pts/s)")

@@ -7,19 +7,25 @@ i7-1065G7 core (BASELINE.md).  vs_baseline = baseline_seconds /
 our_seconds at the SAME instance size (baseline rescaled linearly from
 2^20; the prover is O(n)).
 
-Tiered execution under a wall-clock budget (VERDICT r2 next #2): each
-tier runs in a SUBPROCESS with a hard timeout, so a stuck XLA compile
-or a dead TPU relay can never leave the driver with no number — the
-first tier to finish wins, and the `unit` field says which tier ran.
+Tiered execution under a wall-clock budget: each tier runs in a
+SUBPROCESS with a hard timeout, so a stuck XLA compile or a dead TPU
+relay can never leave the driver with no number — the first tier to
+finish wins (tiers are ordered best-value-first), and the `unit` field
+says which tier ran.
 
-  tier 1  TPU  2^{--n}     only when the axon relay answers a probe
-  tier 2  CPU  2^14        local XLA (persistent cache applies)
-  tier 3  CPU  2^12
-  tier 4  CPU  2^10
+  tier 1  TPU row-MSM 2^14 (the commitment kernel, Mosaic lean body —
+          compile-affordable cold; reference polycommit = 2.718 s
+          for 2^20 points on one core)
+  tier 2  TPU NIZK 2^{--n}        only when the budget can absorb the
+          full per-process compile bill (axon cannot cache executables)
+  tier 3+ CPU NIZK 2^10 -> 2^12 -> 2^14, smallest FIRST so some
+          nizk_prove_s lands before budget death; children run with
+          PALLAS_AXON_POOL_IPS popped so CPU XLA compiles run LOCALLY
+          (the serial remote-compile relay costs minutes per module —
+          the same fix tests/conftest.py applies for pytest)
   last    host-native MSM points/s (C++ path, no XLA at all)
 
-Budget: SPARTAN_TPU_BENCH_BUDGET_S (default 480 s).  The TPU tier gets
-at most half the budget; CPU tiers split the rest.
+Budget: SPARTAN_TPU_BENCH_BUDGET_S (default 480 s).
 
 Usage: python bench.py [--n LOG2N] [--reps N] [--msm]
        --msm reports the MSM microbench instead.
@@ -110,8 +116,16 @@ def child_nizk(n_log2: int, backend: str, reps: int) -> None:
     }), flush=True)
 
 
-def child_msm(n_log2: int, backend: str, reps: int, c: int) -> None:
-    _child_env_setup(backend)
+def child_rowmsm(n_log2: int, reps: int) -> None:
+    """TPU tier: the Pedersen commitment kernel (batch row-MSM,
+    dense_mlpoly.rs:148-162 analogue) on 2^n points as a square
+    (L, R) = (2^(n/2), 2^(n/2)) block — the polycommit shape a 2^n
+    prove performs.  Generators derive host-side (native C++
+    hash-to-point, milliseconds) so the child pays only the MSM
+    kernel's own compile."""
+    _child_env_setup("tpu")
+    import hashlib
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -122,42 +136,36 @@ def child_msm(n_log2: int, backend: str, reps: int, c: int) -> None:
     from spartan_tpu.ff import limb
 
     n = 1 << n_log2
+    L = 1 << (n_log2 // 2)
+    R = n // L
     rng = np.random.default_rng(0)
-    _progress(f"[child] building {n} points on {jax.default_backend()}")
-    base = hri.decode(hri.BASEPOINT_BYTES)
-    seed_scalars = jnp.asarray(
-        limb.ints_to_limbs([int(x) | 1 for x in rng.integers(1, 1 << 63, size=n)])
-    )
-    base_dev = ed.from_host([base] * 1)
-    base_tiled = ed.PointArray(*(jnp.tile(cc, (n, 1)) for cc in base_dev))
-    _progress("[child] deriving points (scalar ladder)")
-    pts = ed.scalar_mul(base_tiled, seed_scalars)
-    jax.block_until_ready(pts.x)
+    _progress(f"[child] row-MSM {L}x{R} on {jax.default_backend()}; "
+              "deriving generators host-side")
+    pts = [hri.from_uniform_bytes(hashlib.sha512(b"bench%d" % i).digest())
+           for i in range(R)]
+    gens = ed.from_host(pts)
+    scal_ints = [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
+    scalars = jnp.asarray(limb.ints_to_limbs(scal_ints)).reshape(L, R, 16)
 
-    scalars = jnp.asarray(
-        limb.ints_to_limbs(
-            [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
-        )
-    )
-    _progress("[child] warmup MSM (compiles)")
-    out = msm_mod.msm(scalars, pts, c=c)
+    _progress("[child] warmup row-MSM (pays the Mosaic/XLA compiles)")
+    out = msm_mod.msm_rows(scalars, gens)
     jax.block_until_ready(out.x)
 
     times = []
     for i in range(reps):
-        _progress(f"[child] timed MSM {i + 1}/{reps}")
         t0 = time.perf_counter()
-        out = msm_mod.msm(scalars, pts, c=c)
+        out = msm_mod.msm_rows(scalars, gens)
         jax.block_until_ready(out.x)
         times.append(time.perf_counter() - t0)
-        _progress(f"[child]   -> {times[-1]:.3f} s")
+        _progress(f"[child] timed row-MSM {i + 1}/{reps} -> {times[-1]:.3f} s")
     best = min(times)
     pps = n / best
     baseline_pps = (1 << 20) / BASELINE_POLYCOMMIT_S
     print(json.dumps({
         "metric": "msm_points_per_s_per_chip",
         "value": round(pps, 1),
-        "unit": f"points/s (N=2^{n_log2}, backend={jax.default_backend()})",
+        "unit": f"points/s (row-MSM {L}x{R}, polycommit kernel, "
+                f"backend={jax.default_backend()})",
         "vs_baseline": round(pps / baseline_pps, 4),
     }), flush=True)
 
@@ -217,13 +225,24 @@ def _tpu_reachable(timeout_s: float) -> bool:
         return False
 
 
-def _run_tier(args_list: list[str], timeout_s: float, label: str) -> str | None:
-    """Run one tier as a child; return its stdout JSON line or None."""
+def _run_tier(args_list: list[str], timeout_s: float, label: str,
+              local_cpu: bool = False) -> str | None:
+    """Run one tier as a child; return its stdout JSON line or None.
+
+    local_cpu=True pops PALLAS_AXON_POOL_IPS from the child env so the
+    axon sitecustomize never arms and CPU XLA compiles run locally —
+    through the serial remote-compile relay a CPU NIZK pays minutes
+    per module (the round-3 bench's CPU tiers all timed out on exactly
+    this; tests/conftest.py applies the same fix for pytest)."""
     if timeout_s < 10:
         _progress(f"tier {label}: skipped (only {timeout_s:.0f}s left)")
         return None
     _progress(f"tier {label}: starting (timeout {timeout_s:.0f}s)")
     env = dict(os.environ)
+    if local_cpu:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+        env["JAX_PLATFORMS"] = "cpu"
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)] + args_list,
@@ -252,12 +271,11 @@ def _run_tier(args_list: list[str], timeout_s: float, label: str) -> str | None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=None, help="log2 instance size")
-    ap.add_argument("--c", type=int, default=8, help="MSM window bits (--msm)")
-    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--msm", action="store_true",
                     help="MSM microbench instead of NIZK::prove")
     ap.add_argument("--_child", default=None,
-                    help="internal: nizk:<n>:<backend> | msm:<n>:<backend> "
+                    help="internal: nizk:<n>:<backend> | rowmsm:<n> "
                          "| hostmsm:<n>")
     args = ap.parse_args()
 
@@ -265,8 +283,8 @@ def main() -> None:
         parts = args._child.split(":")
         if parts[0] == "nizk":
             child_nizk(int(parts[1]), parts[2], args.reps)
-        elif parts[0] == "msm":
-            child_msm(int(parts[1]), parts[2], args.reps, args.c)
+        elif parts[0] == "rowmsm":
+            child_rowmsm(int(parts[1]), args.reps)
         else:
             child_host_msm(int(parts[1]))
         return
@@ -274,32 +292,35 @@ def main() -> None:
     budget = _budget()
     _progress(f"budget {budget:.0f}s; mode={'msm' if args.msm else 'nizk'}")
 
-    tiers: list[tuple[list[str], float, str]] = []
-    kind = "msm" if args.msm else "nizk"
+    # (child_args, frac_of_budget, label, local_cpu)
+    tiers: list[tuple[list[str], float, str, bool]] = []
     on_tpu = _tpu_reachable(min(120.0, budget / 4))
     remaining = lambda: budget - _elapsed()  # noqa: E731
 
-    # The axon backend cannot persist compiled executables, so a fresh
-    # TPU prove pays the full Mosaic/XLA compile bill (~13 min for the
-    # pallas MSM alone, artifacts/bench_pallas_msm20_tpu.log) every
-    # process.  Only attempt the TPU tier when the budget can absorb
-    # that; the default 480 s budget goes straight to the cache-warm
-    # CPU tiers, which always produce a number.
-    if on_tpu and (args.msm or remaining() >= 900):
-        n_tpu = args.n if args.n is not None else (14 if args.msm else 20)
-        tiers.append(([f"--_child={kind}:{n_tpu}:tpu",
-                       f"--reps={args.reps}", f"--c={args.c}"],
-                      0.75, f"TPU {kind} 2^{n_tpu}"))
-    cpu_ns = ([args.n] if args.n is not None and not on_tpu
-              else ([12, 10] if args.msm else [14, 12, 10]))
-    for n_cpu in cpu_ns:
-        tiers.append(([f"--_child={kind}:{n_cpu}:cpu",
-                       f"--reps={args.reps}", f"--c={args.c}"],
-                      0.5, f"CPU {kind} 2^{n_cpu}"))
+    if on_tpu:
+        # Best-value first: the commitment row-MSM with the lean Mosaic
+        # body is the one TPU tier whose full cold-compile bill fits a
+        # default budget (the axon backend cannot persist executables).
+        n_msm = args.n if (args.n is not None and args.msm) else 14
+        tiers.append(([f"--_child=rowmsm:{n_msm}", f"--reps={args.reps}"],
+                      0.80, f"TPU row-MSM 2^{n_msm}", False))
+        # A full TPU NIZK prove only fits an extended budget.
+        if not args.msm and remaining() >= 2400:
+            n_tpu = args.n if args.n is not None else 20
+            tiers.append(([f"--_child=nizk:{n_tpu}:tpu",
+                           f"--reps={args.reps}"],
+                          0.60, f"TPU nizk 2^{n_tpu}", False))
+    if not args.msm:
+        # Smallest FIRST: land some nizk_prove_s before budget death.
+        cpu_ns = [args.n] if (args.n is not None and not on_tpu) else [10, 12, 14]
+        for n_cpu in cpu_ns:
+            tiers.append(([f"--_child=nizk:{n_cpu}:cpu",
+                           f"--reps={args.reps}"],
+                          0.5, f"CPU nizk 2^{n_cpu} (local compiles)", True))
 
-    for child_args, frac, label in tiers:
+    for child_args, frac, label, local_cpu in tiers:
         out = _run_tier(child_args, min(remaining() - 15, frac * budget),
-                        label)
+                        label, local_cpu=local_cpu)
         if out:
             print(out, flush=True)
             return

@@ -86,6 +86,7 @@ H = 2 * NLIMBS  # fixed sublane height for every lazy value
 
 
 _IN_PALLAS = False  # set while tracing the Mosaic kernel body
+_LEAN = False  # trace loop-based (compile-lean) kernel bodies
 
 
 def _roll(x, k, axis):
@@ -119,6 +120,23 @@ def _rolldown(x, k):
     n = x.shape[-2]
     r = _roll(x, n - k, x.ndim - 2)
     return jnp.where(_row_iota(x.shape) < np.uint32(n - k), r, jnp.uint32(0))
+
+
+def _rollup_dyn(x, k):
+    """_rollup with a TRACED shift (fori_loop bodies; Mosaic lowers
+    pltpu.roll with a dynamic shift to tpu.dynamic_rotate)."""
+    k = k.astype(jnp.uint32) if hasattr(k, "astype") else jnp.uint32(k)
+    r = pltpu.roll(x, k, axis=x.ndim - 2)
+    return jnp.where(_row_iota(x.shape) >= k, r, jnp.uint32(0))
+
+
+def _rolldown_dyn(x, k):
+    """_rolldown with a TRACED shift."""
+    n = x.shape[-2]
+    k = k.astype(jnp.uint32) if hasattr(k, "astype") else jnp.uint32(k)
+    r = pltpu.roll(x, jnp.uint32(n) - k, axis=x.ndim - 2)
+    return jnp.where(_row_iota(x.shape) < jnp.uint32(n) - k, r,
+                     jnp.uint32(0))
 
 
 def _carry(acc):
@@ -159,7 +177,21 @@ class _FpLazy:
     @staticmethod
     def mul_wide(a, b):
         """(...,H,W) x (...,H,W) -> (...,H,W) raw product columns (rows
-        0..31), carry-propagated to 16-bit limbs."""
+        0..31), carry-propagated to 16-bit limbs.
+
+        Two trace shapes: the unrolled 16-term schoolbook (fastest
+        steady-state) and, when _LEAN is set, a fori_loop over the 16
+        a-limbs with dynamic rotates — ~16x smaller Mosaic body, which
+        is what dominates the kernel's cold-compile time."""
+        if _LEAN:
+            def body(i, acc):
+                ai = _rolldown_dyn(a, i)[..., 0:1, :]  # row i -> row 0
+                prod = ai * b  # (...,H,W) exact u32
+                return acc + (_rollup_dyn(prod & _LIMB_MASK, i)
+                              + _rollup_dyn(prod >> np.uint32(16), i + 1))
+            acc = lax.fori_loop(0, NLIMBS, body, jnp.zeros_like(b),
+                                unroll=False)
+            return _carry(acc)
         acc = None
         for i in range(NLIMBS):
             prod = a[..., i : i + 1, :] * b  # (...,H,W) exact u32
@@ -240,7 +272,7 @@ def _tree_select(d, tabs):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _msm_window_kernel(RC: int,
+def _msm_window_kernel(RC: int, lean: bool,
                        consts_ref, scal_ref, tx_ref, ty_ref, tz_ref, tt_ref,
                        ox_ref, oy_ref, oz_ref, ot_ref):
     """One (lane-block, row-block, window) grid step: select each
@@ -256,8 +288,9 @@ def _msm_window_kernel(RC: int,
     slice, and the lane-blocking itself is done by the BlockSpec
     index_map (DMA), not by in-kernel slicing.
     """
-    global _IN_PALLAS
+    global _IN_PALLAS, _LEAN
     _IN_PALLAS = True  # trace-time scoping; single-threaded tracing
+    _LEAN = lean
     try:
         f = _FpLazy(consts_ref[...])
         w = pl.program_id(2)
@@ -267,31 +300,57 @@ def _msm_window_kernel(RC: int,
         lm = scal_ref[:, pl.ds(limb_idx, 1), :]  # (LB, 1, RC)
         d = (lm >> sh.astype(jnp.uint32)) & np.uint32(15)
 
-        tabs = [tuple(ref[e, :, :] for ref in (tx_ref, ty_ref,
-                                               tz_ref, tt_ref))
-                for e in range(16)]
-        p = _tree_select(d, tabs)  # 4-tuple of (LB, H, RC)
+        refs = (tx_ref, ty_ref, tz_ref, tt_ref)
+        if lean:
+            # Select via masked accumulation over the 16 table entries
+            # (exact u32 arithmetic: mask in {0,1}); fori_loop keeps
+            # ONE entry's worth of ops in the Mosaic body.
+            LB = d.shape[0]
+            def sel_body(e, acc):
+                m = (d == e.astype(jnp.uint32)).astype(jnp.uint32)
+                ent = [ref[pl.ds(e, 1), :, :] for ref in refs]
+                return tuple(a + m * t for a, t in zip(acc, ent))
+            zeros = jnp.zeros((LB, H, d.shape[-1]), jnp.uint32)
+            p = lax.fori_loop(0, 16, sel_body,
+                              (zeros, zeros, zeros, zeros), unroll=False)
 
-        # Halving tree RC -> 1: lo half + rolled hi half, both offset-0.
-        width = RC
-        while width > 1:
-            half = width // 2
-            lo = tuple(c[..., :half] for c in p)
-            hi = tuple(_roll(c, half, 2)[..., :half] for c in p)
-            p = _padd(f, lo, hi)
-            width = half
+            # Halving tree at FIXED width with dynamic rotate: level k
+            # adds lane i+RC/2^(k+1) into lane i; lanes >= half carry
+            # garbage that never reaches lane 0 (each level only reads
+            # below the previous half).
+            log2rc = max(RC.bit_length() - 1, 0)
+            def tree_body(lvl, p):
+                half = jnp.uint32(RC) >> (lvl.astype(jnp.uint32) + 1)
+                k = jnp.uint32(RC) - half
+                hi = tuple(pltpu.roll(c, k, axis=c.ndim - 1) for c in p)
+                return _padd(f, p, hi)
+            p = lax.fori_loop(0, log2rc, tree_body, p, unroll=False)
+        else:
+            tabs = [tuple(ref[e, :, :] for ref in refs)
+                    for e in range(16)]
+            p = _tree_select(d, tabs)  # 4-tuple of (LB, H, RC)
+
+            # Halving tree RC -> 1: lo half + rolled hi half, offset-0.
+            width = RC
+            while width > 1:
+                half = width // 2
+                lo = tuple(c[..., :half] for c in p)
+                hi = tuple(_roll(c, half, 2)[..., :half] for c in p)
+                p = _padd(f, lo, hi)
+                width = half
 
         for ref, c in zip((ox_ref, oy_ref, oz_ref, ot_ref), p):
             ref[...] = c[:, :NLIMBS, 0][None, None, :, :]
     finally:
         _IN_PALLAS = False
+        _LEAN = False
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("LB", "RC", "interpret"))
+                   static_argnames=("LB", "RC", "interpret", "lean"))
 def _msm_windows_pallas(scal_t: jnp.ndarray, tab,
                         LB: int = 8, RC: int = 256,
-                        interpret: bool = False):
+                        interpret: bool = False, lean: bool = False):
     """scal_t: (L, 16, R) canonical limbs; tab: 4-tuple of (16, H, R).
     Returns 4-tuple of (64, R // RC, L, 16) lazy per-lane-block window
     sums (limbs last); the XLA wrapper reduces the lane-block axis.
@@ -324,7 +383,7 @@ def _msm_windows_pallas(scal_t: jnp.ndarray, tab,
     out_shape = [jax.ShapeDtypeStruct((64, nblk, L, NLIMBS), jnp.uint32)
                  for _ in range(4)]
 
-    kern = functools.partial(_msm_window_kernel, RC)
+    kern = functools.partial(_msm_window_kernel, RC, lean)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -417,8 +476,8 @@ def _reduce_laneblocks(wins):
 
 
 def msm_rows_pallas(scalars: jnp.ndarray, gens,
-                    LB: int = 8, RC: int = 256,
-                    interpret: bool = False):
+                    LB: int | None = None, RC: int | None = None,
+                    interpret: bool = False, lean: bool | None = None):
     """out[l] = sum_i scalars[l,i] * gens[i].
 
     scalars: (L, R, 16) canonical limbs; gens: (R,) PointArray.
@@ -426,11 +485,35 @@ def msm_rows_pallas(scalars: jnp.ndarray, gens,
     RC lanes per grid step; R is padded with identity points (zero
     scalars select table entry 0 = identity, so padding lanes are
     exact no-ops) to RC * 2^k lanes — a power-of-two lane-block count,
-    which _reduce_laneblocks's halving tree requires."""
+    which _reduce_laneblocks's halving tree requires.
+
+    lean=True traces fori_loop kernel bodies (dynamic rotates) instead
+    of the fully unrolled select/halving trees.  MEASURED (v5e, axon
+    relay, L=4 R=128): lean compiles in 747 s vs 440 s unrolled —
+    Mosaic's dynamic_rotate lowering costs more compile time than the
+    unrolled trees save — so the default stays unrolled; the flag is
+    kept for future Mosaic versions (SPARTAN_TPU_PALLAS_LEAN=1).
+    Outputs are bit-identical (checked vs the host oracle on-chip)."""
+    import os
+
     from . import edwards as ed
+
+    if lean is None:
+        lean = os.environ.get("SPARTAN_TPU_PALLAS_LEAN", "0") == "1"
+    # Grid-cell shape knobs: LB rows x RC lanes per step.  Mosaic
+    # compile time scales with the kernel body's vreg footprint
+    # (values are (LB, 32, RC) u32), so smaller cells compile faster
+    # at some steady-state cost; see PERF.md "pallas compile ladder".
+    if LB is None:
+        LB = int(os.environ.get("SPARTAN_TPU_PALLAS_LB", "8"))
+    if RC is None:
+        RC = int(os.environ.get("SPARTAN_TPU_PALLAS_RC", "256"))
 
     L, R = scalars.shape[0], scalars.shape[1]
     RC = min(RC, 1 << max((R - 1).bit_length(), 0)) if R > 1 else 1
+    # tpu.dynamic_rotate requires lane-aligned (multiple-of-128)
+    # shapes; below that the unrolled trees are small anyway.
+    lean = bool(lean) and RC % 128 == 0
     nblk_p2 = 1 << max((-(-R // RC) - 1).bit_length(), 0)
     rpad = RC * nblk_p2 - R
     if rpad:
@@ -446,7 +529,7 @@ def msm_rows_pallas(scalars: jnp.ndarray, gens,
         scal_t = jnp.concatenate(
             [scal_t, jnp.zeros((pad, NLIMBS, R + rpad), jnp.uint32)], axis=0)
     wins = _msm_windows_pallas(scal_t, tab, LB=LB, RC=RC,
-                               interpret=interpret)
+                               interpret=interpret, lean=lean)
     wins = tuple(_canonicalize(c) for c in wins)
     wins = _reduce_laneblocks(wins)
     out = _horner_windows(wins)

@@ -302,6 +302,22 @@ class R1CSShape:
     def is_sat(self, vars_ints: list[int], input_ints: list[int]) -> bool:
         assert len(vars_ints) == self.num_vars
         assert len(input_ints) == self.num_inputs
+        from .. import native
+
+        if native.available():
+            # Host path (C++ SpMV): r1cs.rs:240-266 is pure public-data
+            # checking — paying a device SpMV compile for it doubled
+            # synthetic-instance construction cost on the TPU backend.
+            z_ints = list(vars_ints) + [1] + list(input_ints)
+            R256 = (1 << 256) % Q
+            zb = b"".join((v * R256 % Q).to_bytes(32, "little")
+                          for v in z_ints)
+            Az, Bz, Cz = (
+                native.fq_spmv(m._rows_np, m._cols_np, m.vals_mont_bytes(),
+                               zb, self.num_cons)
+                for m in (self.A, self.B, self.C))
+            return all((a * b - c) % Q == 0
+                       for a, b, c in zip(Az, Bz, Cz))
         z = dense.from_ints(list(vars_ints) + [1] + list(input_ints))
         Az, Bz, Cz = self.multiply_vec(z)
         diff = fq.sub(fq.mul(Az, Bz), Cz)

@@ -14,6 +14,10 @@ from spartan_tpu.curve import msm as msm_mod
 from spartan_tpu.curve import ristretto as dri
 from spartan_tpu.ff import limb
 
+import pytest
+
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 rng = random.Random(0xBEEF)
 
 

@@ -16,6 +16,8 @@ from spartan_tpu.curve import edwards as ed
 from spartan_tpu.ff import fq, limb
 from spartan_tpu.parallel import dcn
 
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 
 @pytest.fixture(scope="module")
 def mesh2d():

@@ -13,6 +13,8 @@ from spartan_tpu.poly import dense
 from spartan_tpu.protocols import device_prover as dp
 from spartan_tpu.protocols.sumcheck import ZKSumcheckInstanceProof
 
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 
 def _tables(n, count, seed):
     rng = np.random.default_rng(seed)

@@ -10,6 +10,10 @@ from spartan_tpu.core.merlin import Transcript
 from spartan_tpu.ff import fq, limb
 from spartan_tpu.transcript import device as dtx
 
+import pytest
+
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 
 def test_device_keccak_matches_host():
     rng = np.random.default_rng(0)

@@ -12,6 +12,10 @@ import jax.numpy as jnp
 from spartan_tpu.core.field import P25519, Q
 from spartan_tpu.ff import fp25519, fq, limb
 
+import pytest
+
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 rng = random.Random(0xC0FFEE)
 
 

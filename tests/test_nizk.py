@@ -11,6 +11,8 @@ from spartan_tpu.core.merlin import Transcript
 from spartan_tpu.r1cs.shape import R1CSShape
 from spartan_tpu.utils.errors import ProofVerifyError, R1CSError
 
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 rng = random.Random(7)
 
 

@@ -12,6 +12,8 @@ from spartan_tpu.protocols.sumcheck import (
     _evals_quad,
 )
 
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 
 def _rand_table(n, seed):
     rng = np.random.default_rng(seed)

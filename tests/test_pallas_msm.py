@@ -108,6 +108,8 @@ def test_reduce_laneblocks_any_width(nblk):
 from spartan_tpu.core.field import P25519 as _P
 from spartan_tpu.curve import pallas_msm as _pm
 
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 
 def _to_arr(vals, W):
     a = np.zeros((_pm.H, W), np.uint32)

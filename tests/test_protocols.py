@@ -24,6 +24,8 @@ from spartan_tpu.protocols.sigma import (
 from spartan_tpu.protocols.sumcheck import SumcheckInstanceProof
 from spartan_tpu.utils.errors import ProofVerifyError
 
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 rng = random.Random(0xFEED)
 
 

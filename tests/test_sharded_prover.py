@@ -15,6 +15,8 @@ from spartan_tpu.core.merlin import Transcript
 from spartan_tpu.parallel import context as pctx
 from spartan_tpu.parallel import mesh as pmesh
 
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 
 @pytest.fixture(scope="module")
 def mesh8():

@@ -19,6 +19,8 @@ from spartan_tpu.protocols.spark import (
 from spartan_tpu.r1cs.shape import SparseMatPolynomial
 from spartan_tpu.utils.errors import ProofVerifyError
 
+pytestmark = pytest.mark.mid  # XLA-compile-heavy: run via -m mid (default tier is host-path + golden)
+
 rng = random.Random(0xABCD)
 
 
