@@ -116,7 +116,7 @@ def child_nizk(n_log2: int, backend: str, reps: int) -> None:
     }), flush=True)
 
 
-def child_rowmsm(n_log2: int, reps: int) -> None:
+def child_rowmsm(n_log2: int, r_size: int, rc: int, reps: int) -> None:
     """TPU tier: the Pedersen commitment kernel (batch row-MSM,
     dense_mlpoly.rs:148-162 analogue) on 2^n points as a square
     (L, R) = (2^(n/2), 2^(n/2)) block — the polycommit shape a 2^n
@@ -135,9 +135,10 @@ def child_rowmsm(n_log2: int, reps: int) -> None:
     from spartan_tpu.curve import msm as msm_mod
     from spartan_tpu.ff import limb
 
+    os.environ["SPARTAN_TPU_PALLAS_RC"] = str(rc)
     n = 1 << n_log2
-    L = 1 << (n_log2 // 2)
-    R = n // L
+    R = r_size
+    L = n // R
     rng = np.random.default_rng(0)
     _progress(f"[child] row-MSM {L}x{R} on {jax.default_backend()}; "
               "deriving generators host-side")
@@ -284,7 +285,8 @@ def main() -> None:
         if parts[0] == "nizk":
             child_nizk(int(parts[1]), parts[2], args.reps)
         elif parts[0] == "rowmsm":
-            child_rowmsm(int(parts[1]), args.reps)
+            child_rowmsm(int(parts[1]), int(parts[2]), int(parts[3]),
+                         args.reps)
         else:
             child_host_msm(int(parts[1]))
         return
@@ -301,9 +303,16 @@ def main() -> None:
         # Best-value first: the commitment row-MSM with the lean Mosaic
         # body is the one TPU tier whose full cold-compile bill fits a
         # default budget (the axon backend cannot persist executables).
+        # Measured pallas compile ladder (PERF.md): RC=32 -> 235 s cold,
+        # 3 M pts/s warm (~8x baseline); RC=8 -> 135 s cold, 1.5 M pts/s
+        # (~4x).  Primary tier RC=32; RC=8 as the in-budget retry.
         n_msm = args.n if (args.n is not None and args.msm) else 14
-        tiers.append(([f"--_child=rowmsm:{n_msm}", f"--reps={args.reps}"],
-                      0.80, f"TPU row-MSM 2^{n_msm}", False))
+        tiers.append(([f"--_child=rowmsm:{n_msm}:32:32",
+                       f"--reps={args.reps}"],
+                      0.72, f"TPU row-MSM 2^{n_msm} RC=32", False))
+        tiers.append(([f"--_child=rowmsm:{n_msm}:8:8",
+                       f"--reps={args.reps}"],
+                      0.45, f"TPU row-MSM 2^{n_msm} RC=8", False))
         # A full TPU NIZK prove only fits an extended budget.
         if not args.msm and remaining() >= 2400:
             n_tpu = args.n if args.n is not None else 20

@@ -364,6 +364,24 @@ def _msm_rows_naive_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
     return _tree_sum_rows(prods)
 
 
+@jax.jit
+def _msm_rows_rowgens_jit(scalars: jnp.ndarray, gens: PointArray) -> PointArray:
+    """Row-MSM where each row carries its OWN generator block:
+    out[l] = sum_i scalars[l, i] * gens[l, i].  The per-chip partial
+    reduction of the two-tier multi-host MSM (parallel/dcn.py) — rows
+    are chips, so every op is elementwise over the row axis and GSPMD
+    shards it with zero collectives, while the scalar ladder remains
+    the one shared flat module."""
+    L, R, _ = scalars.shape
+    flat = scalar_mul_padded(
+        PointArray(*(c.reshape(L * R, limb.NLIMBS) for c in gens)),
+        scalars.reshape(L * R, 16))
+    prods = PointArray(*(c.reshape(L, R, limb.NLIMBS) for c in flat))
+    if jax.default_backend() == "cpu":
+        return _sum_rows_masked_jit(prods)
+    return _tree_sum_rows(prods)
+
+
 _DENSE_MSM_JIT = {
     "bits": _msm_rows_bits_jit,
     "win": _msm_rows_win_jit,

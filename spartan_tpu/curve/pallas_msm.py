@@ -278,9 +278,17 @@ def _msm_window_kernel(RC: int, lean: bool,
     """One (lane-block, row-block, window) grid step: select each
     lane's multiple and tree-sum the RC lanes to one point per row.
 
-    scal:  (LB, 16, RC) canonical scalar limbs (limbs on sublanes)
-    t*_ref: (16, H, RC) multiples table 0..15 (entry, limb, lane)
+    scal:  (1, LB, 16, RC) canonical scalar limbs (limbs on sublanes)
+    t*_ref: (1, 16, H, RC) multiples table 0..15 (entry, limb, lane)
     o*_ref: (1, LB, 1, 16) one extended-coords point per row (lazy)
+
+    The leading length-1 axis is the lane-block: the wrapper reshapes
+    the R lanes to (nblk, RC) and lifts nblk into a leading ARRAY axis,
+    so the last two block dims always EQUAL the array dims — that is
+    what lets RC be any power of two (Mosaic only accepts trailing
+    block dims that are (8,128)-divisible or whole), and RC sets the
+    kernel body's vreg footprint, which is what Mosaic compile time
+    scales with (measured ladder in PERF.md).
 
     Mosaic layout rules obeyed throughout: no jnp.pad/concatenate (see
     the field-ops header), no lane slice at a nonzero offset — the
@@ -297,7 +305,7 @@ def _msm_window_kernel(RC: int, lean: bool,
         limb_idx = w // 4
         sh = (w % 4) * 4
 
-        lm = scal_ref[:, pl.ds(limb_idx, 1), :]  # (LB, 1, RC)
+        lm = scal_ref[0, :, pl.ds(limb_idx, 1), :]  # (LB, 1, RC)
         d = (lm >> sh.astype(jnp.uint32)) & np.uint32(15)
 
         refs = (tx_ref, ty_ref, tz_ref, tt_ref)
@@ -308,7 +316,7 @@ def _msm_window_kernel(RC: int, lean: bool,
             LB = d.shape[0]
             def sel_body(e, acc):
                 m = (d == e.astype(jnp.uint32)).astype(jnp.uint32)
-                ent = [ref[pl.ds(e, 1), :, :] for ref in refs]
+                ent = [ref[0, pl.ds(e, 1), :, :] for ref in refs]
                 return tuple(a + m * t for a, t in zip(acc, ent))
             zeros = jnp.zeros((LB, H, d.shape[-1]), jnp.uint32)
             p = lax.fori_loop(0, 16, sel_body,
@@ -326,7 +334,7 @@ def _msm_window_kernel(RC: int, lean: bool,
                 return _padd(f, p, hi)
             p = lax.fori_loop(0, log2rc, tree_body, p, unroll=False)
         else:
-            tabs = [tuple(ref[e, :, :] for ref in refs)
+            tabs = [tuple(ref[0, e, :, :] for ref in refs)
                     for e in range(16)]
             p = _tree_select(d, tabs)  # 4-tuple of (LB, H, RC)
 
@@ -363,18 +371,25 @@ def _msm_windows_pallas(scal_t: jnp.ndarray, tab,
     nblk = R // RC
     grid = (nblk, L // LB, 64)
 
+    # Lift the lane-block axis into a leading ARRAY axis so the last
+    # two dims of every block EQUAL the array dims — Mosaic accepts
+    # only (8,128)-divisible or whole trailing block dims, and this is
+    # what makes small RC (the compile-lean configurations) legal for
+    # large R.
+    scal4 = jnp.moveaxis(scal_t.reshape(L, NLIMBS, nblk, RC), 2, 0)
+    tab4 = tuple(jnp.moveaxis(t.reshape(16, H, nblk, RC), 2, 0)
+                 for t in tab)
+
     in_specs = [
         pl.BlockSpec((3, H), lambda b, g, w: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((LB, NLIMBS, RC), lambda b, g, w: (g, 0, b),
+        pl.BlockSpec((1, LB, NLIMBS, RC), lambda b, g, w: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [
-        pl.BlockSpec((16, H, RC), lambda b, g, w: (0, 0, b),
+        pl.BlockSpec((1, 16, H, RC), lambda b, g, w: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(4)
     ]
-    # lane-block axis placed OUTSIDE the last two dims: Mosaic requires
-    # the last two block dims to divide (8, 128) or equal the array dims
     out_specs = [
         pl.BlockSpec((1, 1, LB, NLIMBS), lambda b, g, w: (w, b, g, 0),
                      memory_space=pltpu.VMEM)
@@ -391,7 +406,7 @@ def _msm_windows_pallas(scal_t: jnp.ndarray, tab,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(_CONSTS), scal_t, *tab)
+    )(jnp.asarray(_CONSTS), scal4, *tab4)
     return outs
 
 

@@ -128,23 +128,43 @@ def msm_two_tier(mesh: Mesh):
     tests compare compressed bytes)."""
     n_ici = mesh.shape[ICI_AXIS]
     n_dcn = mesh.shape[DCN_AXIS]
+    d = n_ici * n_dcn
     spec = P((DCN_AXIS, ICI_AXIS))
     pspec = PointArray(spec, spec, spec, spec)
     rep = PointArray(P(None), P(None), P(None), P(None))
 
-    @partial(shard_map, mesh=mesh, in_specs=(spec, pspec), out_specs=rep,
+    # Two-stage, compile-lean formulation.  Stage 1 (per-chip partials)
+    # runs OUTSIDE shard_map as a GSPMD row-MSM — elementwise over the
+    # chip axis, zero collectives, and the scalar ladder stays the ONE
+    # shared flat module (putting the 256-step ladder inside shard_map
+    # made XLA compile it per partition: >105 min over 8 CPU devices,
+    # the round-2 dryrun timeout).  Stage 2 is the two-tier combine on
+    # d group elements: ICI all_gather + tree-sum (one element per
+    # host), then the per-host elements — 256 B each — ride the DCN.
+    @partial(shard_map, mesh=mesh, in_specs=(pspec,), out_specs=rep,
              check_rep=False)
-    def msm_fn(scalars, points):
-        prods = ed.scalar_mul(points, scalars)
-        local = ed.sum_reduce(prods, axis=0)          # () per chip
-        ici = jax.lax.all_gather(
-            PointArray(*(c[None] for c in local)), ICI_AXIS, axis=0,
-            tiled=True)                               # (n_ici,)
+    def combine(partials):                            # (1,) per chip
+        ici = jax.lax.all_gather(partials, ICI_AXIS, axis=0, tiled=True)
         host = _tree_sum_axis0(ici, n_ici)            # (1,) per host
         dcn = jax.lax.all_gather(host, DCN_AXIS, axis=0, tiled=True)
         return _tree_sum_axis0(dcn, n_dcn)            # (1,) replicated
 
-    return jax.jit(msm_fn)
+    combine_jit = jax.jit(combine)
+
+    def msm_fn(scalars, points):
+        from ..curve import msm as msm_mod
+
+        n = scalars.shape[0]
+        assert n % d == 0, f"point count {n} must split over {d} chips"
+        sh = NamedSharding(mesh, spec)
+        scal = jax.device_put(scalars.reshape(d, n // d, 16), sh)
+        pts = PointArray(*(
+            jax.device_put(c.reshape(d, n // d, limb.NLIMBS), sh)
+            for c in points))
+        partials = msm_mod._msm_rows_rowgens_jit(scal, pts)  # (d,)
+        return combine_jit(partials)
+
+    return msm_fn
 
 
 def sum_mod_q_two_tier(mesh: Mesh):

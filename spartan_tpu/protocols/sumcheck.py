@@ -170,27 +170,30 @@ def _evals_br_jit(tables, which: str):
     return jnp.stack(_evals_br(list(tables), which), axis=0)
 
 
-# Tier schedule for the stable rounds: tables keep a padded power-of-two
-# shape for ~log2(factor) rounds, then physically shrink.  Full-size
-# stable shapes would pay num_rounds full-table passes per phase
-# (~20x the halving path's traffic at 2^20); an 8x tier factor cuts
-# that to ~3.5 passes for the cost of ~2 extra (tiny-graph) compiles.
-# The floor avoids compiling executables for sizes whose round cost is
-# already trivial.
-_TIER_FACTOR = 8
+# Shrink floor for the stable rounds: tables keep their full padded
+# shape until the live region fits the floor, then shrink ONCE.  The
+# floor bounds the tail rounds' per-round traffic without adding
+# executables for every intermediate size.
 _TIER_FLOOR = 1 << 14
 
 
 def _maybe_shrink(tables, live: int):
-    """Slice the padded tables down a tier once the live region is at
-    most 1/_TIER_FACTOR of the current shape.  Beyond `live` the tables
-    are exactly zero (zero folds to zero and contributes nothing to the
-    evals), so slicing never drops data."""
+    """Slice the padded tables straight to the floor once the live
+    region fits it.  Beyond `live` the tables are exactly zero (zero
+    folds to zero and contributes nothing to the evals), so slicing
+    never drops data.
+
+    ONE shrink only (not a geometric tier ladder): every distinct
+    table shape costs a fresh _step_br compile, and on the axon
+    backend — which cannot persist executables — a 2^20 phase under
+    the old /8 ladder paid THREE compiles (2^20, 2^17, 2^14 shapes)
+    where folding the dead zero tail costs microseconds of HBM
+    traffic.  Two shapes per phase is the compile-optimal schedule:
+    the full shape for the early rounds, the floor for the tail."""
     cur = tables[0].shape[0]
-    if cur <= _TIER_FLOOR or live > cur // _TIER_FACTOR:
+    if cur <= _TIER_FLOOR or live > _TIER_FLOOR:
         return tables
-    new = max(_TIER_FLOOR, max(live, 2))
-    return tuple(T[:new] for T in tables)
+    return tuple(T[:_TIER_FLOOR] for T in tables)
 
 
 @partial(jax.jit, static_argnames=("which",))

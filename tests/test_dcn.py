@@ -40,12 +40,10 @@ def test_sum_mod_q_two_tier(mesh2d):
     assert fq.decode_to_ints(got) == fq.decode_to_ints(want[None])
 
 
-@pytest.mark.slow
 def test_msm_two_tier_vs_host(mesh2d):
-    # slow: compiles the 256-step ladder under shard_map over 8 CPU
-    # devices — minutes via the remote compile service, HOURS on local
-    # LLVM (one executable per partition).  The two-tier collective
-    # layout itself is covered by test_sum_mod_q_two_tier.
+    # The per-chip stage is a GSPMD row-MSM through the shared flat
+    # ladder module (zero collectives); only the tiny two-tier combine
+    # runs under shard_map, so this compiles in minutes, not hours.
     npts = 16
     pts = [hri.from_uniform_bytes(hashlib.sha512(b"dcn%d" % i).digest())
            for i in range(npts)]
