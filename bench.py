@@ -118,11 +118,12 @@ def child_nizk(n_log2: int, backend: str, reps: int) -> None:
 
 def child_rowmsm(n_log2: int, r_size: int, rc: int, reps: int) -> None:
     """TPU tier: the Pedersen commitment kernel (batch row-MSM,
-    dense_mlpoly.rs:148-162 analogue) on 2^n points as a square
-    (L, R) = (2^(n/2), 2^(n/2)) block — the polycommit shape a 2^n
-    prove performs.  Generators derive host-side (native C++
-    hash-to-point, milliseconds) so the child pays only the MSM
-    kernel's own compile."""
+    dense_mlpoly.rs:148-162 analogue) on 2^n points as an
+    (L, R) = (2^n / r_size, r_size) block with the Mosaic lane-block
+    width pinned to `rc` — r_size/rc select a point on the measured
+    compile-time/throughput ladder (PERF.md).  Generators derive
+    host-side (native C++ hash-to-point, milliseconds) so the child
+    pays only the MSM kernel's own compile."""
     _child_env_setup("tpu")
     import hashlib
 
