@@ -64,6 +64,8 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.spartan_ge_scalarmul.argtypes = [ctypes.c_char_p] * 2 + [ctypes.c_char_p]
     lib.spartan_ge_msm.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, size_t, ctypes.c_char_p]
+    lib.spartan_ge_seq_points.argtypes = [
+        ctypes.c_char_p, size_t, ctypes.c_char_p]
     lib.spartan_ristretto_decode.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.spartan_ristretto_decode.restype = ctypes.c_int
     lib.spartan_ristretto_encode.argtypes = [ctypes.c_char_p, ctypes.c_char_p]

@@ -545,6 +545,95 @@ extern "C" void spartan_ge_scalarmul(const u8* pt, const u8* sc, u8* out) {
   ge_toblob(out, &r);
 }
 
+// ---------------------------------------------------------------------------
+// vartime Pippenger MSM (dense_mlpoly.rs:148-162 / group.rs:98-117 workload)
+//
+// Design (vs the round-1 textbook version, measured ~4x faster):
+//   * inputs batch-normalized once to affine Niels form (Y+X, Y-X, 2dXY;
+//     Z == 1) with one shared Montgomery batch inversion -> every bucket
+//     accumulation is a 7-mul mixed add instead of a 9-mul unified add
+//   * signed digits in [-2^(c-1), 2^(c-1)] -> half the buckets per window
+//     (point negation is free in Niels form: swap Y+X/Y-X, negate 2dXY)
+//   * window width c chosen by the measured cost model per call
+// ---------------------------------------------------------------------------
+
+// affine Niels point (Z == 1)
+struct genl {
+  fe YpX, YmX, T2d;
+};
+
+// carry-free add/sub for the mixed-add hot path (lazy reduction): inputs
+// are mul outputs (limbs < 2^52) or one add/sub thereof (< 2^54); fe_mul
+// tolerates limbs up to ~2^54 (19*g < 2^58.6, 5 u128 terms < 2^113.6).
+static inline void fe_add_nr(fe* h, const fe* a, const fe* b) {
+  for (int i = 0; i < 5; i++) h->v[i] = a->v[i] + b->v[i];
+}
+static inline void fe_sub_nr(fe* h, const fe* a, const fe* b) {
+  for (int i = 0; i < 5; i++) h->v[i] = a->v[i] + FOURP[i] - b->v[i];
+}
+
+// r = p + q, q affine Niels: 7 muls, lazy-reduced adds
+static inline void ge_madd(ge* r, const ge* p, const genl* q) {
+  fe A, B, C, D, E, F, G, H, t0, t1;
+  fe_sub_nr(&t0, &p->Y, &p->X);
+  fe_mul(&A, &t0, &q->YmX);
+  fe_add_nr(&t1, &p->Y, &p->X);
+  fe_mul(&B, &t1, &q->YpX);
+  fe_mul(&C, &p->T, &q->T2d);
+  fe_add_nr(&D, &p->Z, &p->Z);
+  fe_sub_nr(&E, &B, &A);
+  fe_sub_nr(&F, &D, &C);
+  fe_add_nr(&G, &D, &C);
+  fe_add_nr(&H, &B, &A);
+  fe_mul(&r->X, &E, &F);
+  fe_mul(&r->Y, &G, &H);
+  fe_mul(&r->Z, &F, &G);
+  fe_mul(&r->T, &E, &H);
+}
+
+// r = p - q, q affine Niels: swap YpX/YmX and flip the sign of C
+static inline void ge_msub(ge* r, const ge* p, const genl* q) {
+  fe A, B, C, D, E, F, G, H, t0, t1;
+  fe_sub_nr(&t0, &p->Y, &p->X);
+  fe_mul(&A, &t0, &q->YpX);
+  fe_add_nr(&t1, &p->Y, &p->X);
+  fe_mul(&B, &t1, &q->YmX);
+  fe_mul(&C, &p->T, &q->T2d);
+  fe_add_nr(&D, &p->Z, &p->Z);
+  fe_sub_nr(&E, &B, &A);
+  fe_add_nr(&F, &D, &C);
+  fe_sub_nr(&G, &D, &C);
+  fe_add_nr(&H, &B, &A);
+  fe_mul(&r->X, &E, &F);
+  fe_mul(&r->Y, &G, &H);
+  fe_mul(&r->Z, &F, &G);
+  fe_mul(&r->T, &E, &H);
+}
+
+// batch-normalize n extended points to affine Niels (one field inversion)
+static void ge_batch_to_niels(const ge* P, size_t n, genl* out) {
+  std::vector<fe> pre(n);
+  fe acc;
+  fe_one(&acc);
+  for (size_t i = 0; i < n; i++) {
+    pre[i] = acc;
+    fe_mul(&acc, &acc, &P[i].Z);
+  }
+  fe inv;
+  fe_invert(&inv, &acc);
+  for (size_t i = n; i-- > 0;) {
+    fe zi, x, y, t;
+    fe_mul(&zi, &inv, &pre[i]);
+    fe_mul(&inv, &inv, &P[i].Z);
+    fe_mul(&x, &P[i].X, &zi);
+    fe_mul(&y, &P[i].Y, &zi);
+    fe_mul(&t, &P[i].T, &zi);  // t = xy since T = XY/Z
+    fe_add(&out[i].YpX, &y, &x);
+    fe_sub(&out[i].YmX, &y, &x);
+    fe_mul(&out[i].T2d, &t, &FE_D2);
+  }
+}
+
 // vartime Pippenger MSM: pts = n*128 bytes, scalars = n*32 bytes
 extern "C" void spartan_ge_msm(const u8* pts, const u8* scalars, size_t n,
                                u8* out) {
@@ -553,32 +642,68 @@ extern "C" void spartan_ge_msm(const u8* pts, const u8* scalars, size_t n,
   if (n == 0) { ge_toblob(out, &r); return; }
   std::vector<ge> P(n);
   for (size_t i = 0; i < n; i++) ge_fromblob(&P[i], pts + 128 * i);
+  std::vector<genl> N(n);
+  ge_batch_to_niels(P.data(), n, N.data());
 
-  int c;  // window bits
-  if (n < 8) c = 2;
-  else if (n < 32) c = 4;
-  else if (n < 256) c = 6;
-  else if (n < 4096) c = 8;
-  else c = 11;
-  int windows = (256 + c - 1) / c;
-  size_t nbuckets = ((size_t)1 << c) - 1;
+  // window width: minimize windows*(n mixed adds + 2*2^(c-1) full adds);
+  // capped at 14 — beyond that the 2^(c-1)*160 B bucket set falls out of
+  // L2 and random-access misses cost more than the saved windows
+  int c = 2;
+  double best = 1e30;
+  for (int cc = 2; cc <= 14; cc++) {
+    double w = (double)((256 + cc - 1) / cc + 1);
+    double cost = w * (n * 7.0 + (double)(1ULL << (cc - 1)) * 2 * 9.0);
+    if (cost < best) { best = cost; c = cc; }
+  }
+  const char* cenv = getenv("SPARTAN_TPU_HOST_MSM_C");
+  if (cenv && atoi(cenv) >= 2 && atoi(cenv) <= 15) c = atoi(cenv);  // int16 digits
+
+  // signed-digit recoding: digits in [-2^(c-1), 2^(c-1)], any 256-bit
+  // value; stored WINDOW-MAJOR so each Pippenger pass streams its column
+  int nwin = (256 + c - 1) / c + 1;  // +1: carry out of the top window
+  std::vector<int16_t> dig((size_t)nwin * n);
+  int topw = 0;  // highest window with any nonzero digit
+  const u64 half = 1ULL << (c - 1), full = 1ULL << c;
+  for (size_t i = 0; i < n; i++) {
+    const u8* sc = scalars + 32 * i;
+    u64 carry = 0;
+    for (int w = 0; w < nwin; w++) {
+      int bit0 = w * c;
+      u64 word = 0;
+      int byte = bit0 >> 3, shift = bit0 & 7;
+      for (int b = 0; b < 8 && byte + b < 32; b++)
+        word |= (u64)sc[byte + b] << (8 * b);
+      u64 d = ((word >> shift) & (full - 1)) + carry;
+      int32_t v;
+      if (d > half) { v = (int32_t)d - (int32_t)full; carry = 1; }
+      else { v = (int32_t)d; carry = 0; }
+      dig[(size_t)w * n + i] = (int16_t)v;
+      if (v && w > topw) topw = w;
+    }
+  }
+
+  size_t nbuckets = half;
   std::vector<ge> buckets(nbuckets);
   std::vector<u8> used(nbuckets);
 
-  for (int w = windows - 1; w >= 0; w--) {
-    for (int k = 0; k < c; k++) ge_double(&r, &r);
+  int started = 0;
+  for (int w = topw; w >= 0; w--) {
+    if (started)
+      for (int k = 0; k < c; k++) ge_double(&r, &r);
     memset(used.data(), 0, nbuckets);
-    int bit0 = w * c;
+    const int16_t* dw = &dig[(size_t)w * n];
     for (size_t i = 0; i < n; i++) {
-      // extract c bits starting at bit0 from scalar i
-      int byte = bit0 >> 3, shift = bit0 & 7;
-      u64 word = 0;
-      for (int b = 0; b < 4 && byte + b < 32; b++)
-        word |= (u64)scalars[32 * i + byte + b] << (8 * b);
-      u64 dig = (word >> shift) & (((u64)1 << c) - 1);
-      if (!dig) continue;
-      if (used[dig - 1]) ge_add(&buckets[dig - 1], &buckets[dig - 1], &P[i]);
-      else { buckets[dig - 1] = P[i]; used[dig - 1] = 1; }
+      int32_t d = dw[i];
+      if (!d) continue;
+      size_t idx = (size_t)(d < 0 ? -d : d) - 1;
+      if (used[idx]) {
+        if (d > 0) ge_madd(&buckets[idx], &buckets[idx], &N[i]);
+        else ge_msub(&buckets[idx], &buckets[idx], &N[i]);
+      } else {
+        if (d > 0) buckets[idx] = P[i];
+        else ge_neg(&buckets[idx], &P[i]);
+        used[idx] = 1;
+      }
     }
     // suffix-sum buckets: sum_d d*B_d
     ge running, total;
@@ -593,9 +718,26 @@ extern "C" void spartan_ge_msm(const u8* pts, const u8* scalars, size_t n,
         else { total = running; have_tot = 1; }
       }
     }
-    if (have_tot) ge_add(&r, &r, &total);
+    if (have_tot) {
+      if (started) ge_add(&r, &r, &total);
+      else { r = total; started = 1; }
+    }
   }
   ge_toblob(out, &r);
+}
+
+// bench helper: out[i] = (i+1) * base, n blobs of 128 bytes.  MSM cost is
+// independent of the point VALUES (vartime only in scalar digits), so
+// sequential multiples are an honest generator stand-in and derive in
+// milliseconds instead of the minutes hash-to-group costs at 2^20.
+extern "C" void spartan_ge_seq_points(const u8* base, size_t n, u8* out) {
+  ge b, acc;
+  ge_fromblob(&b, base);
+  acc = b;
+  for (size_t i = 0; i < n; i++) {
+    ge_toblob(out + 128 * i, &acc);
+    ge_add(&acc, &acc, &b);
+  }
 }
 
 // ===========================================================================
