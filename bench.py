@@ -318,18 +318,21 @@ def main() -> None:
 
     live: list[_Tier] = []
     results: list[tuple[float, str, str]] = []  # (vs_baseline, line, label)
-    tpu_retry_pending = os.environ.get("PALLAS_AXON_POOL_IPS") is not None
+    have_tpu = os.environ.get("PALLAS_AXON_POOL_IPS") is not None
+    tpu_followup_pending = have_tpu
     n_msm = args.n if (args.n is not None and args.msm) else 14
 
     # floor tier: host C++ Pippenger at the reference's own size
     live.append(_Tier("host-msm 2^20",
                       ["--_child=hostmsm:20", f"--reps={args.reps}"],
                       min(180.0, hard_stop), local_cpu=True))
-    if tpu_retry_pending:
-        # primary TPU tier; its deadline leaves room for the RC=8 retry
-        # to ride a chip grant that completed during this child's init
-        live.append(_Tier(f"tpu row-MSM 2^{n_msm} RC=32",
-                          [f"--_child=rowmsm:{n_msm}:32:32",
+    if have_tpu:
+        # primary TPU tier: RC=8, the CHEAPEST Mosaic compile (~135 s) —
+        # banks a ~4x result early when the chip grant is warm, and its
+        # deadline still leaves room for a retry to ride a cold grant
+        # (~315 s) that completed during this child's init
+        live.append(_Tier(f"tpu row-MSM 2^{n_msm} RC=8",
+                          [f"--_child=rowmsm:{n_msm}:8:8",
                            f"--reps={args.reps}"],
                           min(0.62 * budget, hard_stop)))
     if not args.msm and budget - _elapsed() >= 2400:
@@ -361,14 +364,23 @@ def main() -> None:
                 harvest(t)
             else:
                 continue
-            # the RC=32 tier ended (either way) -> launch the RC=8 retry;
-            # a cold chip grant outlives the client that paid for it, so
-            # the retry usually starts with a ~10 s warm init
-            if t.label.endswith("RC=32") and tpu_retry_pending:
-                tpu_retry_pending = False
-                got_rowmsm = any("row-MSM" in lbl and v >= 1
-                                 for v, _, lbl in results)
-                if not got_rowmsm and hard_stop - _elapsed() > 60:
+            # the primary TPU tier ended -> follow up once:
+            #   success: UPGRADE to RC=32 (~270 s compile, ~8x) if the
+            #            remaining budget can absorb it
+            #   failure: its init was likely the cold chip grant, which
+            #            outlives the client (measured: next-process
+            #            init ~10 s) -> one RC=8 retry rides it
+            if t.label.endswith("RC=8") and tpu_followup_pending:
+                tpu_followup_pending = False
+                succeeded = any(lbl == t.label for _, _, lbl in results)
+                left = hard_stop - _elapsed()
+                if succeeded and left > 300:
+                    live.append(_Tier(
+                        f"tpu row-MSM 2^{n_msm} RC=32 (upgrade)",
+                        [f"--_child=rowmsm:{n_msm}:32:32",
+                         f"--reps={args.reps}"],
+                        hard_stop))
+                elif not succeeded and left > 60:
                     live.append(_Tier(
                         f"tpu row-MSM 2^{n_msm} RC=8 (retry)",
                         [f"--_child=rowmsm:{n_msm}:8:8",
