@@ -99,6 +99,29 @@ def test_msm_parity():
     assert hri.encode(msm([0] * 4, pts[:4])) == hri.encode(Point.identity())
 
 
+def test_msm_signed_digit_boundaries():
+    """The round-4 Pippenger recodes scalars into signed digits in
+    [-2^(c-1), 2^(c-1)]; exercise every boundary pattern at pinned
+    window widths, incl. the max 256-bit value (group.rs:98-117 is
+    vartime over arbitrary 256-bit inputs)."""
+    pts = [hri.from_uniform_bytes(hashlib.sha512(b"sb%d" % i).digest())
+           for i in range(8)]
+    for c in (2, 8, 14):
+        half = 1 << (c - 1)
+        ks = [half, half - 1, half + 1, (1 << c) - 1,
+              sum(half << (c * w) for w in range(256 // c)),  # all-carry
+              Q - 1, (1 << 252), (1 << 256) - 1]
+        want = Point.identity()
+        for k, p in zip(ks, pts):
+            want = want.add(_py_mul(p, k))
+        os.environ["SPARTAN_TPU_HOST_MSM_C"] = str(c)
+        try:
+            got = msm(ks, pts)
+        finally:
+            del os.environ["SPARTAN_TPU_HOST_MSM_C"]
+        assert hri.encode(got) == hri.encode(want), f"c={c}"
+
+
 def test_from_uniform_parity():
     # native elligator vs python elligator on fixed inputs
     lib = native.get_lib()
