@@ -16,12 +16,15 @@ result that completed:
 
   host   C++ Pippenger MSM (no XLA, no relay; finishes in ~1 min,
          ~0.7x baseline) — the guaranteed floor
-  tpu-1  Mosaic row-MSM 2^14 RC=32 (235 s compile + ~10 s warm grant;
-         ~8x baseline when it lands)
-  tpu-2  launched only if tpu-1 dies: RC=8 (135 s compile).  tpu-1's
-         death usually means its init WAS the cold chip grant — the
-         grant outlives the client (measured: next-process init 10 s),
-         so the retry rides it
+  tpu    SELF-SIZING Mosaic row-MSM: pays the chip grant (the one
+         unknowable cost: ~10 s warm, ~315 s cold), then picks the
+         biggest rung of a measured compile-time ladder that fits the
+         remaining budget (2^20 RC=256 ~104x | 2^17 RC=32 59.5x
+         measured | 2^14 RC=32 ~3.4x | 2^14 RC=8 ~2.3x) and banks a
+         JSON line after every rep — partial results survive the kill
+  tpu-retry  launched only if the auto tier dies WITHOUT banking a
+         line (crash/relay hiccup): cheap RC=8 compile rides the chip
+         grant the dead child's init completed
   tpu-nizk  full NIZK::prove at 2^--n — only when the budget can
          absorb the whole per-process compile bill (>= 2400 s; axon
          cannot persist compiled executables)
@@ -129,51 +132,102 @@ def child_rowmsm(n_log2: int, r_size: int, rc: int, reps: int) -> None:
     host-side (native C++ hash-to-point, milliseconds) so the child
     pays only the MSM kernel's own compile."""
     _child_env_setup("tpu")
+    import jax
+
+    jax.devices()  # chip grant
+    _run_rowmsm(n_log2, r_size, rc, reps)
+
+
+def _rand_scalar_limbs(n: int):
+    """(n, 16) uint32 16-bit-limb array of 248-bit scalars, vectorized
+    (a Python int loop takes ~40 s at 2^20)."""
+    import numpy as np
+
+    raw = np.frombuffer(np.random.default_rng(0).bytes(32 * n),
+                        dtype=np.uint8).reshape(n, 32).copy()
+    raw[:, 31] = 0  # 248-bit scalars (< q, canonical)
+    return raw.view("<u2").astype(np.uint32)
+
+
+def _run_rowmsm(n_log2: int, r_size: int, rc: int, reps: int) -> None:
+    """Body of the row-MSM tiers; assumes the backend is already
+    initialized (chip grant paid).  A JSON line is printed after EVERY
+    rep that improves the best, so a partial result survives a
+    deadline kill."""
     import hashlib
 
-    import numpy as np
     import jax
     import jax.numpy as jnp
 
     from spartan_tpu.core import ristretto as hri
     from spartan_tpu.curve import edwards as ed
     from spartan_tpu.curve import msm as msm_mod
-    from spartan_tpu.ff import limb
 
     os.environ["SPARTAN_TPU_PALLAS_RC"] = str(rc)
     n = 1 << n_log2
     R = r_size
     L = n // R
-    rng = np.random.default_rng(0)
-    _progress(f"[child] row-MSM {L}x{R} on {jax.default_backend()}; "
+    _progress(f"[child] row-MSM {L}x{R} RC={rc} on {jax.default_backend()}; "
               "deriving generators host-side")
     pts = [hri.from_uniform_bytes(hashlib.sha512(b"bench%d" % i).digest())
            for i in range(R)]
     gens = ed.from_host(pts)
-    scal_ints = [int.from_bytes(rng.bytes(31), "little") for _ in range(n)]
-    scalars = jnp.asarray(limb.ints_to_limbs(scal_ints)).reshape(L, R, 16)
+    scalars = jnp.asarray(_rand_scalar_limbs(n)).reshape(L, R, 16)
 
     _progress("[child] warmup row-MSM (pays the Mosaic/XLA compiles)")
     out = msm_mod.msm_rows(scalars, gens)
     jax.block_until_ready(out.x)
+    _progress("[child] compiles done")
 
-    times = []
+    baseline_pps = (1 << 20) / BASELINE_POLYCOMMIT_S
+    best = None
     for i in range(reps):
         t0 = time.perf_counter()
         out = msm_mod.msm_rows(scalars, gens)
         jax.block_until_ready(out.x)
-        times.append(time.perf_counter() - t0)
-        _progress(f"[child] timed row-MSM {i + 1}/{reps} -> {times[-1]:.3f} s")
-    best = min(times)
-    pps = n / best
-    baseline_pps = (1 << 20) / BASELINE_POLYCOMMIT_S
-    print(json.dumps({
-        "metric": "msm_points_per_s_per_chip",
-        "value": round(pps, 1),
-        "unit": f"points/s (row-MSM {L}x{R}, polycommit kernel, "
-                f"backend={jax.default_backend()})",
-        "vs_baseline": round(pps / baseline_pps, 4),
-    }), flush=True)
+        dt = time.perf_counter() - t0
+        _progress(f"[child] timed row-MSM {i + 1}/{reps} -> {dt:.3f} s")
+        if best is None or dt < best:
+            best = dt
+            pps = n / best
+            print(json.dumps({
+                "metric": "msm_points_per_s_per_chip",
+                "value": round(pps, 1),
+                "unit": f"points/s (row-MSM {L}x{R}, polycommit kernel, "
+                        f"backend={jax.default_backend()})",
+                "vs_baseline": round(pps / baseline_pps, 4),
+            }), flush=True)
+
+
+# Adaptive ladder: (min seconds left AFTER backend init, n_log2, R, RC).
+# Cold-path costs measured on the v5e through the axon relay (PERF.md
+# round-4 compile ladder + fresh child-process validations): each
+# rung's threshold is its measured full cold path + safety margin.
+_AUTO_LADDER = [
+    (1150, 20, 1024, 256),  # ~850 s cold, ~40 M pts/s in-tier (~104x)
+    (380, 17, 32, 32),      # 261-327 s cold measured, 23 M pts/s (59.5x)
+    (330, 14, 32, 32),      # ~275 s cold, 1.3 M pts/s (3.38x, validated)
+    (0, 14, 8, 8),          # ~145 s cold, ~0.9 M pts/s (~2.3x)
+]
+
+
+def child_rowmsm_auto(deadline_s: float, reps: int) -> None:
+    """TPU tier that sizes itself: the axon chip GRANT is the one
+    unknowable cost (~10 s warm, ~315 s cold, measured) — so pay it
+    first, then pick the biggest ladder rung whose measured cold path
+    fits the time actually left."""
+    _child_env_setup("tpu")
+    import jax
+
+    jax.devices()  # chip grant — the adaptive decision waits for this
+    left = deadline_s - _elapsed()
+    _progress(f"[child] backend up at +{_elapsed():.1f}s "
+              f"(grant {'cold' if _elapsed() > 60 else 'warm'}); "
+              f"{left:.0f}s of budget left")
+    for min_left, n_log2, r_size, rc in _AUTO_LADDER:
+        if left >= min_left:
+            _run_rowmsm(n_log2, r_size, rc, reps)
+            return
 
 
 def child_host_msm(n_log2: int, reps: int = 2) -> None:
@@ -265,22 +319,24 @@ class _Tier:
         with open(f.name) as fh:
             return fh.read()
 
-    def finish(self) -> str | None:
-        """Collect a finished/killed child; return its JSON line or None."""
+    def finish(self) -> list[str]:
+        """Collect a finished/killed child; return its JSON lines.
+        Lines from killed/crashed children count too — each line is a
+        complete measurement the child banked before dying."""
         err = self._read(self.err_f)
         for ln in err.splitlines():
             if ln.startswith("[bench"):
                 print(ln, file=sys.stderr, flush=True)
-        if self.proc.returncode == 0:
-            for ln in self._read(self.out_f).strip().splitlines():
-                ln = ln.strip()
-                if ln.startswith("{"):
-                    _progress(f"tier {self.label}: OK")
-                    return ln
-        tail = err.strip().splitlines()[-2:]
-        _progress(f"tier {self.label}: no result "
-                  f"(rc={self.proc.returncode}); tail: {tail}")
-        return None
+        lines = [ln.strip() for ln in self._read(self.out_f).splitlines()
+                 if ln.strip().startswith("{")]
+        if lines:
+            _progress(f"tier {self.label}: {len(lines)} result(s) "
+                      f"(rc={self.proc.returncode})")
+        else:
+            tail = err.strip().splitlines()[-2:]
+            _progress(f"tier {self.label}: no result "
+                      f"(rc={self.proc.returncode}); tail: {tail}")
+        return lines
 
     def kill(self) -> None:
         try:
@@ -298,7 +354,7 @@ def main() -> None:
                     help="MSM microbench instead of NIZK::prove")
     ap.add_argument("--_child", default=None,
                     help="internal: nizk:<n>:<backend> | rowmsm:<n>:<r>:<rc> "
-                         "| hostmsm:<n>")
+                         "| rowmsm_auto:<deadline_s> | hostmsm:<n>")
     args = ap.parse_args()
 
     if args._child:
@@ -308,6 +364,8 @@ def main() -> None:
         elif parts[0] == "rowmsm":
             child_rowmsm(int(parts[1]), int(parts[2]), int(parts[3]),
                          args.reps)
+        elif parts[0] == "rowmsm_auto":
+            child_rowmsm_auto(float(parts[1]), args.reps)
         else:
             child_host_msm(int(parts[1]), args.reps)
         return
@@ -320,21 +378,20 @@ def main() -> None:
     results: list[tuple[float, str, str]] = []  # (vs_baseline, line, label)
     have_tpu = os.environ.get("PALLAS_AXON_POOL_IPS") is not None
     tpu_followup_pending = have_tpu
-    n_msm = args.n if (args.n is not None and args.msm) else 14
 
     # floor tier: host C++ Pippenger at the reference's own size
     live.append(_Tier("host-msm 2^20",
                       ["--_child=hostmsm:20", f"--reps={args.reps}"],
                       min(180.0, hard_stop), local_cpu=True))
     if have_tpu:
-        # primary TPU tier: RC=8, the CHEAPEST Mosaic compile (~135 s) —
-        # banks a ~4x result early when the chip grant is warm, and its
-        # deadline still leaves room for a retry to ride a cold grant
-        # (~315 s) that completed during this child's init
-        live.append(_Tier(f"tpu row-MSM 2^{n_msm} RC=8",
-                          [f"--_child=rowmsm:{n_msm}:8:8",
+        # primary TPU tier: self-sizing — after its backend init (the
+        # chip grant, the one unknowable cost) it picks the biggest
+        # measured ladder rung that fits the time left, and banks a
+        # JSON line after every rep (counted even if killed at budget)
+        live.append(_Tier("tpu row-MSM auto",
+                          [f"--_child=rowmsm_auto:{hard_stop - _elapsed()}",
                            f"--reps={args.reps}"],
-                          min(0.62 * budget, hard_stop)))
+                          hard_stop))
     if not args.msm and budget - _elapsed() >= 2400:
         n_tpu = args.n if args.n is not None else 20
         live.append(_Tier(f"tpu nizk 2^{n_tpu}",
@@ -343,8 +400,7 @@ def main() -> None:
                           hard_stop))
 
     def harvest(t: _Tier) -> None:
-        line = t.finish()
-        if line:
+        for line in t.finish():
             try:
                 results.append((float(json.loads(line)["vs_baseline"]),
                                 line, t.label))
@@ -364,27 +420,20 @@ def main() -> None:
                 harvest(t)
             else:
                 continue
-            # the primary TPU tier ended -> follow up once:
-            #   success: UPGRADE to RC=32 (~270 s compile, ~8x) if the
-            #            remaining budget can absorb it
-            #   failure: its init was likely the cold chip grant, which
-            #            outlives the client (measured: next-process
-            #            init ~10 s) -> one RC=8 retry rides it
-            if t.label.endswith("RC=8") and tpu_followup_pending:
+            # the adaptive TPU tier DIED without banking anything
+            # (relay hiccup / crash — not a deadline, it self-sizes):
+            # its init likely completed the cold chip grant, which
+            # outlives the client (measured: next-process init ~10 s),
+            # so one cheap RC=8 retry rides it
+            if t.label.startswith("tpu row-MSM auto") and \
+                    tpu_followup_pending:
                 tpu_followup_pending = False
-                succeeded = any(lbl == t.label for _, _, lbl in results)
+                banked = any(lbl == t.label for _, _, lbl in results)
                 left = hard_stop - _elapsed()
-                if succeeded and left > 300:
+                if not banked and left > 160:
                     live.append(_Tier(
-                        f"tpu row-MSM 2^{n_msm} RC=32 (upgrade)",
-                        [f"--_child=rowmsm:{n_msm}:32:32",
-                         f"--reps={args.reps}"],
-                        hard_stop))
-                elif not succeeded and left > 60:
-                    live.append(_Tier(
-                        f"tpu row-MSM 2^{n_msm} RC=8 (retry)",
-                        [f"--_child=rowmsm:{n_msm}:8:8",
-                         f"--reps={args.reps}"],
+                        "tpu row-MSM 2^14 RC=8 (retry)",
+                        ["--_child=rowmsm:14:8:8", f"--reps={args.reps}"],
                         hard_stop))
 
     for t in live:
