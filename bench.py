@@ -86,7 +86,21 @@ def _child_env_setup(backend: str) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def child_nizk(n_log2: int, backend: str, reps: int) -> None:
+def child_nizk(n_log2: int, backend: str, reps: int,
+               cold_opt: bool = False) -> None:
+    if cold_opt:
+        # post-MSM-tier upgrade slot: ride the warm chip grant with the
+        # cheapest-compile prover config (RC=8 Mosaic + BR host rounds,
+        # 424 s cold / 3.69 s warm at 2^14, PERF.md r4) — the warm-
+        # optimal configs cannot fit the leftover budget cold
+        os.environ.setdefault("SPARTAN_TPU_PALLAS_RC", "8")
+        os.environ.setdefault("SPARTAN_TPU_EXPECT_REPS", "1")
+    else:
+        # warmup + timed reps = warm intent: the RC auto-policy and the
+        # device-resident ZK phases compile their warm-optimal configs
+        # in the warmup prove so the timed reps run at steady state
+        os.environ.setdefault("SPARTAN_TPU_EXPECT_REPS",
+                              str(max(reps + 1, 2)))
     _child_env_setup(backend)
     import jax
 
@@ -252,7 +266,8 @@ def child_host_msm(n_log2: int, reps: int = 2) -> None:
                for i in range(n)]
         import random
 
-        ks = [random.Random(0).getrandbits(252) for _ in range(n)]
+        rng = random.Random(0)
+        ks = [rng.getrandbits(252) for _ in range(n)]
         t0 = time.perf_counter()
         hed.msm(ks, pts)
         dt = time.perf_counter() - t0
@@ -336,6 +351,12 @@ class _Tier:
             tail = err.strip().splitlines()[-2:]
             _progress(f"tier {self.label}: no result "
                       f"(rc={self.proc.returncode}); tail: {tail}")
+        for f in (self.out_f, self.err_f):
+            try:
+                f.close()
+                os.unlink(f.name)
+            except OSError:
+                pass
         return lines
 
     def kill(self) -> None:
@@ -360,7 +381,8 @@ def main() -> None:
     if args._child:
         parts = args._child.split(":")
         if parts[0] == "nizk":
-            child_nizk(int(parts[1]), parts[2], args.reps)
+            child_nizk(int(parts[1]), parts[2], args.reps,
+                       cold_opt=len(parts) > 3 and parts[3] == "cold")
         elif parts[0] == "rowmsm":
             child_rowmsm(int(parts[1]), int(parts[2]), int(parts[3]),
                          args.reps)
@@ -420,20 +442,32 @@ def main() -> None:
                 harvest(t)
             else:
                 continue
-            # the adaptive TPU tier DIED without banking anything
-            # (relay hiccup / crash — not a deadline, it self-sizes):
-            # its init likely completed the cold chip grant, which
-            # outlives the client (measured: next-process init ~10 s),
-            # so one cheap RC=8 retry rides it
+            # adaptive TPU tier finished: pick its follow-up.  Either
+            # way the chip grant it paid outlives the client
+            # (measured: next-process init ~10 s), so the follow-up
+            # rides it.
             if t.label.startswith("tpu row-MSM auto") and \
                     tpu_followup_pending:
                 tpu_followup_pending = False
                 banked = any(lbl == t.label for _, _, lbl in results)
                 left = hard_stop - _elapsed()
                 if not banked and left > 160:
+                    # died without a result (relay hiccup / crash):
+                    # one cheap RC=8 retry
                     live.append(_Tier(
                         "tpu row-MSM 2^14 RC=8 (retry)",
                         ["--_child=rowmsm:14:8:8", f"--reps={args.reps}"],
+                        hard_stop))
+                elif banked and left > 430 and not args.msm:
+                    # MSM floor is in the bank: spend the leftover on
+                    # an END-TO-END warm NIZK::prove (the true system
+                    # metric; cheapest-compile config, 424 s cold /
+                    # 3.69 s warm at 2^14 measured).  A banked prove
+                    # line is preferred over MSM lines at selection.
+                    live.append(_Tier(
+                        "tpu nizk 2^14 (upgrade)",
+                        ["--_child=nizk:14:tpu:cold",
+                         f"--reps={args.reps}"],
                         hard_stop))
 
     for t in live:
@@ -442,7 +476,21 @@ def main() -> None:
         harvest(t)
 
     if results:
-        results.sort(key=lambda r: r[0], reverse=True)
+        # end-to-end prove results outrank kernel-microbench results
+        # regardless of ratio: nizk_prove_s is the system metric the
+        # baseline actually states (README.md:413), while the MSM tier
+        # measures one kernel (VERDICT r4 weak #3 — a 40x kernel line
+        # must not mask a slower prover).  Within a metric class, best
+        # vs_baseline wins.
+        def rank(r):
+            vs, line, _lbl = r
+            try:
+                is_prove = json.loads(line).get("metric") == "nizk_prove_s"
+            except ValueError:
+                is_prove = False
+            return (1 if is_prove and vs > 0 else 0, vs)
+
+        results.sort(key=rank, reverse=True)
         _progress(f"best tier: {results[0][2]} "
                   f"(vs_baseline {results[0][0]:.3f})")
         print(results[0][1], flush=True)

@@ -10,9 +10,29 @@ R1CS (4 constraints, 4 vars, 1 input):
 
 import os
 import random
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+# This example is a 4-constraint toy: every millisecond of it is XLA
+# compile time, not proving.  On boxes where the axon TPU plugin is
+# armed (PALLAS_AXON_POOL_IPS), EVERY compile — CPU included — queues
+# through a serial remote relay (~1-2 s/module; tests/conftest.py has
+# the measurements), so by default re-exec once with the plugin
+# disarmed and run on local CPU.  Set SPARTAN_TPU_EXAMPLE_TPU=1 to pay
+# the chip grant and run on the accelerator instead.
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("SPARTAN_TPU_EXAMPLE_TPU") != "1"
+        and not os.environ.get("SPARTAN_TPU_EXAMPLE_REEXEC")):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS")
+    env["SPARTAN_TPU_EXAMPLE_REEXEC"] = "1"  # loop guard
+    env["JAX_PLATFORMS"] = "cpu"
+    sys.stdout.flush()
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+sys.stdout.reconfigure(line_buffering=True)
 
 from spartan_tpu.api import Assignment, Instance, NIZK, NIZKGens
 from spartan_tpu.core.field import Q
@@ -49,8 +69,14 @@ def produce_r1cs():
 
 
 def main():
+    import jax
+
+    print(f"cubic example: x^3 + x + 5 = y "
+          f"(backend={jax.default_backend()})")
     inst, vars_a, inputs_a = produce_r1cs()
+    print("R1CS built and satisfiability checked (4 cons, 4 vars, 1 input)")
     gens = NIZKGens(4, 4, 1)
+    print("generators derived; proving (first run pays XLA compiles)...")
 
     t0 = time.time()
     proof = NIZK.prove(inst, vars_a, inputs_a, gens, Transcript(b"nizk_example"))

@@ -26,6 +26,11 @@ def main():
                          "compiles)")
     args = ap.parse_args()
 
+    # declare warm intent to the RC auto-policy (curve/pallas_msm.py):
+    # with reps > 1 the warm-optimal Mosaic kernel is compiled up front
+    # so rep >= 1 reports true steady-state numbers
+    os.environ.setdefault("SPARTAN_TPU_EXPECT_REPS", str(args.reps))
+
     import jax
 
     from spartan_tpu import serialize as ser
@@ -60,6 +65,10 @@ def main():
         blob = ser.nizk_to_bytes(proof)
         print(f"proof size: {len(blob)} bytes "
               f"({ser.compressed_size(blob)} compressed)")
+        rep = ser.nizk_size_report(proof)
+        assert sum(rep.values()) == len(blob)
+        for k, v in rep.items():
+            print(f"  len::{k}: {v} B")
 
         proof.verify(inst, inputs_a, Transcript(b"nizk_example"), gens)
         print("proof verification successful")

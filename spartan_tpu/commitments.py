@@ -86,16 +86,21 @@ def _derive_gens(label: bytes, count: int) -> tuple:
 
 
 def commit_scalar(x: int, blind: int, gens: MultiCommitGens) -> hed.Point:
-    """Scalar::commit (commitments.rs:75-80): x*G[0] + blind*h."""
+    """Scalar::commit (commitments.rs:75-80): x*G[0] + blind*h.
+
+    Both x (a claim derived from the witness) and blind are prover
+    secrets: runs on the constant-time ladder (core/edwards.py msm_ct)."""
     assert gens.n == 1
-    return hed.msm([x % Q, blind % Q], [gens.G[0], gens.h])
+    return hed.msm_ct([x % Q, blind % Q], [gens.G[0], gens.h])
 
 
 def commit_vector_host(xs, blind: int, gens: MultiCommitGens) -> hed.Point:
     """[Scalar]::commit on host (small vectors; sigma protocols).
-    One host MSM call (native Pippenger when available)."""
+
+    The vectors here are secret round-poly coefficients / sigma nonce
+    vectors with a secret blind — constant-time ladder, one call."""
     assert gens.n == len(xs)
-    return hed.msm([x % Q for x in xs] + [blind % Q], gens.G + [gens.h])
+    return hed.msm_ct([x % Q for x in xs] + [blind % Q], gens.G + [gens.h])
 
 
 def commit_vector_device(

@@ -133,6 +133,30 @@ class Point:
 BASEPOINT = Point.from_affine(_recover_x(BASE_Y, 0), BASE_Y)
 
 
+def msm_ct(scalars: list[int], points: list["Point"]) -> Point:
+    """Constant-time small MSM for SECRET scalars (blinds, committed
+    round-poly coefficients): fixed-window ladder with branch-free
+    masked table selection in native code (spartan_ge_msm_ct) — control
+    flow and memory access independent of the scalar values, the
+    analogue of the reference's `subtle`-based CT Scalar traits
+    (ristretto255.rs:218-243).  Results equal msm() exactly.
+
+    Without the native library there is no CT substrate (python ints
+    are inherently value-dependent in time); falls back to the vartime
+    path — acceptable only for tests/dev boxes without g++."""
+    lib = _native_lib()
+    if lib is not None and len(scalars) > 0:
+        import ctypes
+
+        pts = b"".join(p._blob() for p in points)
+        sc = b"".join((int(s) % 2**256).to_bytes(32, "little")
+                      for s in scalars)
+        out = ctypes.create_string_buffer(128)
+        lib.spartan_ge_msm_ct(pts, sc, len(scalars), out)
+        return Point._from_blob(out.raw)
+    return msm(scalars, points)
+
+
 def msm(scalars: list[int], points: list["Point"]) -> Point:
     """Host multiscalar multiplication (native Pippenger when available;
     the bulk MSM lives on device — curve/msm.py).  Mirrors

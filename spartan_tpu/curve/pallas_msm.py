@@ -490,6 +490,54 @@ def _reduce_laneblocks(wins):
     return tuple(c[:, 0] for c in p)
 
 
+# -- RC auto-selection --------------------------------------------------
+#
+# Cold-compile cost and warm throughput pull RC in opposite directions
+# (PERF.md "pallas compile ladder", measured on the v5e): RC=32
+# compiles in ~330 s and runs a 2^20 row-MSM in 46.5 s warm (the grid
+# pays 262,144 tiny output DMAs); RC=256 compiles in ~785 s and runs
+# the same MSM in 0.024 s.  Neither dominates — the right config
+# depends on how many times the process will dispatch the shape.
+#
+#   * warm intent declared (SPARTAN_TPU_EXPECT_REPS > 1, set by the
+#     profilers/bench from --reps, or SPARTAN_TPU_SERVING=1): compile
+#     the warm-optimal kernel up front; rep 0 absorbs the bill and
+#     every later rep runs at kernel speed.
+#   * no intent: cold-optimal first (one-shot proves stay at the cheap
+#     compile), then a ski-rental upgrade — after _RC_UPGRADE_CALLS
+#     dispatches of one shape the cumulated grid overhead rivals the
+#     big compile (~16 x 46.5 s ~= 785 s at 2^20), so the shape
+#     switches to the warm config: total overhead stays within ~2x of
+#     the clairvoyant choice no matter the call count.
+_RC_COLD = 32
+_RC_WARM = 256
+_RC_UPGRADE_CALLS = 16
+_rc_calls: dict = {}  # (L, R) -> dispatch count under auto policy
+
+
+def _warm_intent() -> bool:
+    import os
+
+    try:
+        if int(os.environ.get("SPARTAN_TPU_EXPECT_REPS", "1") or 1) > 1:
+            return True
+    except ValueError:
+        pass
+    return os.environ.get("SPARTAN_TPU_SERVING", "0") == "1"
+
+
+def _auto_rc(L: int, R: int) -> int:
+    import os
+
+    calls = _rc_calls.get((L, R), 0)
+    _rc_calls[(L, R)] = calls + 1
+    thresh = int(os.environ.get("SPARTAN_TPU_RC_UPGRADE_CALLS",
+                                str(_RC_UPGRADE_CALLS)))
+    if _warm_intent() or calls >= thresh:
+        return _RC_WARM
+    return _RC_COLD
+
+
 def msm_rows_pallas(scalars: jnp.ndarray, gens,
                     LB: int | None = None, RC: int | None = None,
                     interpret: bool = False, lean: bool | None = None):
@@ -521,10 +569,10 @@ def msm_rows_pallas(scalars: jnp.ndarray, gens,
     # at some steady-state cost; see PERF.md "pallas compile ladder".
     if LB is None:
         LB = int(os.environ.get("SPARTAN_TPU_PALLAS_LB", "8"))
-    if RC is None:
-        RC = int(os.environ.get("SPARTAN_TPU_PALLAS_RC", "256"))
-
     L, R = scalars.shape[0], scalars.shape[1]
+    if RC is None:
+        rc_env = os.environ.get("SPARTAN_TPU_PALLAS_RC", "auto")
+        RC = _auto_rc(L, R) if rc_env == "auto" else int(rc_env)
     RC = min(RC, 1 << max((R - 1).bit_length(), 0)) if R > 1 else 1
     # tpu.dynamic_rotate requires lane-aligned (multiple-of-128)
     # shapes; below that the unrolled trees are small anyway.

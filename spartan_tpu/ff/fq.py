@@ -175,6 +175,16 @@ def encode_ints_mont(xs) -> np.ndarray:
 
 
 def decode_to_ints(a) -> list[int]:
-    """Montgomery limbs (device or numpy) -> canonical python ints."""
+    """Montgomery limbs (device or numpy) -> canonical python ints.
+
+    This is the prover's universal blocking device->host fetch point;
+    utils.rt counts and times every call so per-phase round-trip counts
+    are measured, not estimated."""
+    import time as _time
+
+    from ..utils import rt as _rt
+
+    t0 = _time.perf_counter()
     canon = np.asarray(from_mont(jnp.asarray(a)))
+    _rt.record(_time.perf_counter() - t0)
     return limb.limbs_to_ints(canon)

@@ -17,16 +17,19 @@ and writes one aligned block of each output half — no data reordering,
 no cross-block communication, and the eval accumulates in a VMEM
 scratch that is squashed mod q every step.
 
-STATUS — experimental, not wired into the prover.  Measured on a real
-v5e chip, the XLA path (sumcheck._fold_then_evals) already executes
-this dataflow at near-memory-bound throughput (fq.mul ~890 M elem/s;
-fused round ~0.1 ms at 2^20), while Mosaic's compile time for the
-fully-unrolled 16-limb Montgomery pipeline (~30 muls x ~1k vector ops
-after unrolling) exceeds 30 minutes at 2^20.  The kernel is kept as a
-correctness-tested alternative backend (interpret mode in CI) and as
-the substrate for future work: fori_loop-based limb loops to tame
-compile time, and inter-chip RDMA variants (pltpu.make_async_remote_copy)
-for cross-pod sumcheck folds.
+STATUS — DECIDED (round 5, VERDICT r4 next #7): the XLA path stays;
+this kernel is NOT wired into the prover and will not be.  The closing
+measurement (artifacts/round_kernel_tpu.json, real v5e): the XLA fused
+round (sumcheck._fold_then_evals dataflow) runs a 2^20 cubic round in
+0.082 ms — memory-bound on HBM; a hand kernel has no headroom to win,
+while Mosaic's compile time for the fully-unrolled 16-limb Montgomery
+pipeline (~30 muls x ~1k vector ops after unrolling) exceeds 30
+minutes at 2^20 and the fori_loop "lean" variant compiles SLOWER
+(dynamic_rotate lowering; PERF.md pallas ladder).  Unlike the row-MSM
+(where Mosaic beats XLA 1000x because point adds blow up into
+gather-heavy XLA graphs), the round kernel is pure elementwise limb
+math that XLA already fuses optimally.  The file remains as the
+correctness-tested record of that investigation (interpret mode in CI).
 
 Mosaic lowering constraints discovered (and worked around in _Fq):
 no scatter/.at[].set (-> iota/pad constructions), no scatter-add

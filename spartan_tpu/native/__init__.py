@@ -62,7 +62,11 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.spartan_ge_double.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.spartan_ge_neg.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.spartan_ge_scalarmul.argtypes = [ctypes.c_char_p] * 2 + [ctypes.c_char_p]
+    lib.spartan_ge_scalarmul_ct.argtypes = (
+        [ctypes.c_char_p] * 2 + [ctypes.c_char_p])
     lib.spartan_ge_msm.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, size_t, ctypes.c_char_p]
+    lib.spartan_ge_msm_ct.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, size_t, ctypes.c_char_p]
     lib.spartan_ge_seq_points.argtypes = [
         ctypes.c_char_p, size_t, ctypes.c_char_p]

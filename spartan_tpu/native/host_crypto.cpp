@@ -546,6 +546,86 @@ extern "C" void spartan_ge_scalarmul(const u8* pt, const u8* sc, u8* out) {
 }
 
 // ---------------------------------------------------------------------------
+// Constant-time scalar mul / MSM for SECRET scalars (blinds and committed
+// round-poly coefficients).  The reference keeps constant-time Scalar
+// arithmetic via `subtle` (ristretto255.rs:218-243) while committing with
+// vartime MSM; the analogue here: control flow and memory access are
+// independent of the scalar — 64 fixed window iterations of 4 doublings
+// plus ONE unified add of a table entry chosen by a branch-free masked
+// scan over all 16 entries (index 0 holds the identity, so zero nibbles
+// are a uniform identity-add; ge_add is a complete unified Edwards
+// formula, valid for identity and doubling inputs alike).
+// ---------------------------------------------------------------------------
+
+static inline void fe_cmov(fe* r, const fe* a, u64 mask) {
+  for (int i = 0; i < 5; i++) r->v[i] ^= mask & (r->v[i] ^ a->v[i]);
+}
+
+static inline void ge_cmov(ge* r, const ge* a, u64 mask) {
+  fe_cmov(&r->X, &a->X, mask);
+  fe_cmov(&r->Y, &a->Y, mask);
+  fe_cmov(&r->Z, &a->Z, mask);
+  fe_cmov(&r->T, &a->T, mask);
+}
+
+// r = table[nib] without a secret-indexed load: scan all entries, masked
+static void ge_select_ct(ge* r, const ge table[16], unsigned nib) {
+  *r = table[0];
+  for (unsigned j = 1; j < 16; j++) {
+    u64 mask = (u64)((int64_t)((u64)(nib ^ j) - 1) >> 63);  // all-ones iff j==nib
+    ge_cmov(r, &table[j], mask);
+  }
+}
+
+static void ge_scalarmul_ct(ge* r, const ge* p, const u8 sc[32]) {
+  ge table[16];
+  ge_identity(&table[0]);
+  table[1] = *p;
+  for (int i = 2; i < 16; i += 2) {
+    ge_double(&table[i], &table[i / 2]);
+    ge_add(&table[i + 1], &table[i], p);
+  }
+  ge acc;
+  ge_identity(&acc);
+  for (int i = 31; i >= 0; i--) {
+    for (int half = 1; half >= 0; half--) {
+      unsigned nib = half ? (sc[i] >> 4) : (sc[i] & 0xF);
+      ge_double(&acc, &acc);
+      ge_double(&acc, &acc);
+      ge_double(&acc, &acc);
+      ge_double(&acc, &acc);
+      ge t;
+      ge_select_ct(&t, table, nib);
+      ge_add(&acc, &acc, &t);
+    }
+  }
+  *r = acc;
+}
+
+extern "C" void spartan_ge_scalarmul_ct(const u8* pt, const u8* sc, u8* out) {
+  ge p, r;
+  ge_fromblob(&p, pt);
+  ge_scalarmul_ct(&r, &p, sc);
+  ge_toblob(out, &r);
+}
+
+// small-n constant-time MSM: pts = n*128 bytes, scalars = n*32 bytes.
+// Cost is n * (256 doublings + 64 adds) — meant for the <= 8-term
+// blind-bearing Pedersen commitments, not bulk (public-base) MSM.
+extern "C" void spartan_ge_msm_ct(const u8* pts, const u8* scalars, size_t n,
+                                  u8* out) {
+  ge r;
+  ge_identity(&r);
+  for (size_t i = 0; i < n; i++) {
+    ge p, t;
+    ge_fromblob(&p, pts + 128 * i);
+    ge_scalarmul_ct(&t, &p, scalars + 32 * i);
+    ge_add(&r, &r, &t);
+  }
+  ge_toblob(out, &r);
+}
+
+// ---------------------------------------------------------------------------
 // vartime Pippenger MSM (dense_mlpoly.rs:148-162 / group.rs:98-117 workload)
 //
 // Design (vs the round-1 textbook version, measured ~4x faster):

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import ristretto as hri
-from ..core.edwards import Point
+from ..core.edwards import Point, msm_ct
 from ..core.field import Q, batch_inv
 from ..core.merlin import Transcript
 from ..curve import edwards as ded
@@ -164,8 +164,11 @@ class BulletReductionProof:
             c_L = sum(x * y for x, y in zip(a_L, b_R)) % Q
             c_R = sum(x * y for x, y in zip(a_R, b_L)) % Q
             blind_L, blind_R = next(it)
-            L = dmsm.vmsm(a_L + [c_L, blind_L], G_R + [Q_pt, H])
-            R = dmsm.vmsm(a_R + [c_R, blind_R], G_L + [Q_pt, H])
+            # cross-term MSM vartime (as the reference's bullet.rs does
+            # for the same data); the secret c/blind completion terms on
+            # the constant-time ladder
+            L = dmsm.vmsm(a_L, G_R).add(msm_ct([c_L, blind_L], [Q_pt, H]))
+            R = dmsm.vmsm(a_R, G_L).add(msm_ct([c_R, blind_R], [Q_pt, H]))
             Lb, Rb = hri.encode(L), hri.encode(R)
             transcript.append_point(b"L", Lb)
             transcript.append_point(b"R", Rb)
@@ -179,11 +182,9 @@ class BulletReductionProof:
             R_vec.append(Rb)
 
         a_hat, b_hat, g_hat = a_i[0], b_i[0], G_h[0]
-        Gamma_hat = (
-            g_hat.mul(a_hat)
-            .add(Q_pt.mul(a_hat * b_hat % Q))
-            .add(H.mul(blind_fin))
-        )
+        # a_hat and blind_fin are secret: constant-time ladder
+        Gamma_hat = msm_ct([a_hat, a_hat * b_hat % Q, blind_fin],
+                           [g_hat, Q_pt, H])
         return (
             BulletReductionProof(L_vec, R_vec),
             Gamma_hat, a_hat, b_hat, g_hat, blind_fin,

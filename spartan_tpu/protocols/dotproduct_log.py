@@ -38,10 +38,18 @@ class DotProductProofLog:
               a_dev: jnp.ndarray, a_ints: list[int], y: int, blind_y: int
               ) -> tuple["DotProductProofLog", bytes, bytes]:
         """x_dev / a_dev: (n,16) Montgomery device tables; a_ints: the
-        same public vector as ints (for the transcript append)."""
-        from .sumcheck import _use_device_prover
+        same public vector as ints (for the transcript append).
 
-        if _use_device_prover() and x_dev.shape[0] >= 2:
+        The device pipeline stays OPT-IN (SPARTAN_TPU_DEVICE_DPLOG=1,
+        not tied to the phase-level device-prover auto gate): its
+        bullet rounds compile one MSM-ladder executable per halved
+        shape (~2,900 s at 2^14 in round 2, PERF.md) while the host
+        path is ~10 ms at production R-side sizes — there is no warm
+        regime where the device version wins enough to cover that."""
+        import os
+
+        if (os.environ.get("SPARTAN_TPU_DEVICE_DPLOG", "0") == "1"
+                and x_dev.shape[0] >= 2):
             from .device_prover import dotproduct_log_device
 
             return dotproduct_log_device(
@@ -92,9 +100,12 @@ class DotProductProofLog:
         )
         y_hat = x_hat * a_hat % Q
 
-        delta = hri.encode(g_hat.mul(d).add(gens.gens_1.h.mul(r_delta)))
+        # d / r_delta / r_beta are tape secrets: constant-time ladder
+        from ..core.edwards import msm_ct
+
+        delta = hri.encode(msm_ct([d, r_delta], [g_hat, gens.gens_1.h]))
         transcript.append_point(b"delta", delta)
-        beta = hri.encode(Q_scaled.mul(d).add(gens.gens_1.h.mul(r_beta)))
+        beta = hri.encode(msm_ct([d, r_beta], [Q_scaled, gens.gens_1.h]))
         transcript.append_point(b"beta", beta)
 
         c = transcript.challenge_scalar(b"c")

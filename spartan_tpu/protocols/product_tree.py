@@ -303,9 +303,9 @@ class ProductCircuitEvalProofBatched:
     def prove(prod: ProductCircuitBatch,
               dotp: DotProductCircuitBatch | None,
               transcript: Transcript):
-        from .sumcheck import _use_device_prover
+        from .sumcheck import _use_device_nonzk, _use_device_prover
 
-        if _use_device_prover():
+        if not prod.bitrev and (_use_device_prover() or _use_device_nonzk()):
             from .device_prover import prove_product_layers_device
 
             return prove_product_layers_device(prod, dotp, transcript)

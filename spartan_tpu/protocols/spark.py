@@ -336,9 +336,12 @@ class ProductLayerProof:
         # shapes instead of one executable per (layer, round-size) —
         # the dominant fresh-process compile cost of SNARK::prove on the
         # axon backend.  Proof bytes are identical.
-        from .sumcheck import stable_layout_active
+        from .sumcheck import _use_device_nonzk, stable_layout_active
 
-        use_br = stable_layout_active()
+        # device-resident layers (one traced dispatch per layer through
+        # the device transcript) want the natural halving layout; the
+        # BR relayout only pays for the host round path
+        use_br = stable_layout_active() and not _use_device_nonzk()
         ops_leaves = jnp.concatenate([
             row_layers.read_leaves, row_layers.write_leaves,
             col_layers.read_leaves, col_layers.write_leaves,

@@ -34,25 +34,55 @@ from .sigma import DotProductProof
 
 
 def _use_device_prover() -> bool:
-    """Device-resident round loops (zero host round-trips per round):
-    OPT-IN via SPARTAN_TPU_DEVICE_PROVER=1.  Off by default everywhere:
-    the two giant traced phase executables cost ~25 min of one-time
-    XLA/Mosaic compile for ~3 s of steady-state win at 2^20 (PERF.md
-    "compile economics"), and the axon TPU backend cannot persist
-    compiled executables across processes — so a fresh-process prove
-    pays that compile every time.  The measured-best default is the
-    BR shape-stable host-round path (two small compiles per phase).
-    Device-resident remains the right choice only for warm-process
-    repeated proving (serving), where its zero host round-trips per
-    round win.  When a device mesh is active the sharded host-path
-    rounds are used regardless (the device transcript is single-chip)."""
+    """Device-resident ZK round loops (zero host round-trips per round).
+
+    Default policy ("auto"): ON when running on an accelerator AND the
+    process has declared warm intent (SPARTAN_TPU_EXPECT_REPS > 1 /
+    SPARTAN_TPU_SERVING=1, see curve/pallas_msm.py::_warm_intent) —
+    i.e. exactly the regime where the one-time traced-phase compile is
+    amortized and the per-round host<->relay round trip (~0.5-1 s
+    through the tunneled axon link, PERF.md) dominates the host path.
+    For cold one-shot proves the BR shape-stable host rounds (two small
+    compiles per phase) remain the measured-best default.
+    SPARTAN_TPU_DEVICE_PROVER=0/1 forces either way.  When a device
+    mesh is active the sharded host-path rounds are used regardless
+    (the device transcript is single-chip)."""
     import os
 
     from ..parallel import context as pctx
 
     if pctx.get_mesh() is not None:
         return False
-    return os.environ.get("SPARTAN_TPU_DEVICE_PROVER", "0") == "1"
+    v = os.environ.get("SPARTAN_TPU_DEVICE_PROVER", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    from ..curve.pallas_msm import _warm_intent
+
+    return jax.default_backend() != "cpu" and _warm_intent()
+
+
+def _use_device_nonzk() -> bool:
+    """Device-resident NON-ZK round loops (Spark's product/hash layer
+    sumchecks): whole layers run as one traced dispatch through the
+    device transcript — no per-round blinds or sigma proofs exist in
+    these rounds, so the traced graph is pure field ops + STROBE and
+    compiles far cheaper than the ZK phases.  Default ON on
+    accelerators (the alternative costs one host<->relay round trip
+    per round; a 2^16 Spark proof has ~240 of them = the 273.9 s warm
+    bill of round 4, artifacts/profile_snark_16_tpu_r4.log).  On the
+    CPU backend the per-layer traced graphs explode LLVM, so the BR
+    shape-stable host rounds stay.  SPARTAN_TPU_DEVICE_NONZK=0/1
+    overrides."""
+    import os
+
+    from ..parallel import context as pctx
+
+    if pctx.get_mesh() is not None:
+        return False
+    v = os.environ.get("SPARTAN_TPU_DEVICE_NONZK", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() != "cpu"
 
 
 def _to_int(x: jnp.ndarray) -> int:

@@ -434,6 +434,59 @@ def commitment_from_bytes(data: bytes):
     return ComputationCommitment(c)
 
 
+def _sz(fn, *args) -> int:
+    w = Writer()
+    fn(w, *args)
+    return len(w.getvalue())
+
+
+def r1cs_sat_size_report(p) -> dict:
+    """Per-field wire sizes of an R1CSProof, field names matching
+    r1csproof.rs:21-37 — the raw material for byte-level proof-size
+    audits against the reference's reported len_r1cs_sat_proof."""
+    return {
+        "comm_vars": _sz(_w_polycommitment, p.comm_vars),
+        "sc_proof_phase1": _sz(_w_zk_sumcheck, p.sc_proof_phase1),
+        "claims_phase2": 4 * 32,
+        "pok_claims_phase2": (_sz(_w_knowledge, p.pok_claims_phase2[0])
+                              + _sz(_w_product, p.pok_claims_phase2[1])),
+        "proof_eq_sc_phase1": _sz(_w_equality, p.proof_eq_sc_phase1),
+        "sc_proof_phase2": _sz(_w_zk_sumcheck, p.sc_proof_phase2),
+        "comm_vars_at_ry": 32,
+        "proof_eval_vars_at_ry": _sz(_w_polyeval, p.proof_eval_vars_at_ry),
+        "proof_eq_sc_phase2": _sz(_w_equality, p.proof_eq_sc_phase2),
+    }
+
+
+def nizk_size_report(nizk) -> dict:
+    """Field-by-field wire sizes of a NIZK blob (sums to
+    len(nizk_to_bytes(nizk)))."""
+    rx, ry = nizk.r
+    rep = dict(r1cs_sat_size_report(nizk.r1cs_sat_proof))
+    rep["r (rx, ry)"] = 2 * 8 + 32 * (len(rx) + len(ry))
+    return rep
+
+
+def snark_size_report(snark) -> dict:
+    """Field-by-field wire sizes of a SNARK blob (sums to
+    len(snark_to_bytes(snark))); eval-proof subfields follow
+    sparse_mlpoly.rs struct names."""
+    ep = snark.r1cs_eval_proof.proof
+    return {
+        "r1cs_sat_proof": sum(
+            r1cs_sat_size_report(snark.r1cs_sat_proof).values()),
+        "inst_evals": 3 * 32,
+        "eval::comm_derefs": _sz(
+            _w_polycommitment, ep.comm_derefs.comm_ops_val),
+        "eval::proof_prod_layer": _sz(
+            _w_product_layer_proof,
+            ep.poly_eval_network_proof.proof_prod_layer),
+        "eval::proof_hash_layer": _sz(
+            _w_hash_layer_proof,
+            ep.poly_eval_network_proof.proof_hash_layer),
+    }
+
+
 def compressed_size(data: bytes) -> int:
     """zlib-compressed byte length, mirroring the reference's reported
     proof sizes (profiler/snark.rs:48-50)."""

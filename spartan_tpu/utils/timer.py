@@ -17,6 +17,9 @@ class Timer:
         self.label = label
         self.start = time.perf_counter()
         if _ENABLED:
+            from . import rt
+
+            self._rt0 = rt.snapshot()
             print(f"{'  ' * _DEPTH}* {label}")
             _DEPTH += 1
 
@@ -24,8 +27,15 @@ class Timer:
         global _DEPTH
         elapsed = time.perf_counter() - self.start
         if _ENABLED:
+            from . import rt
+
             _DEPTH -= 1
-            print(f"{'  ' * _DEPTH}* {self.label} {elapsed * 1000:.3f}ms")
+            f1, s1 = rt.snapshot()
+            df, ds = f1 - self._rt0[0], s1 - self._rt0[1]
+            extra = (f"  [{df} fetch{'es' if df != 1 else ''}, "
+                     f"{ds:.3f}s stalled]") if df else ""
+            print(f"{'  ' * _DEPTH}* {self.label} "
+                  f"{elapsed * 1000:.3f}ms{extra}")
         return elapsed
 
     @staticmethod

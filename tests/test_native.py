@@ -135,3 +135,31 @@ def test_from_uniform_parity():
         t1 = (int.from_bytes(b[32:], "little") & mask) % P25519
         want = hri.elligator_map(t0).add(hri.elligator_map(t1))
         assert got.eq_ristretto(want)
+
+
+def test_ct_msm_matches_vartime():
+    """Constant-time ladder (spartan_ge_msm_ct) vs the vartime paths:
+    identical group elements for random scalars, zero, and q-1 edge
+    cases (VERDICT r4 #6: CT path for blind-bearing commitments)."""
+    from spartan_tpu.core.edwards import msm_ct
+
+    rng = random.Random(77)
+    pts = [hri.from_uniform_bytes(hashlib.sha512(b"ctp%d" % i).digest())
+           for i in range(5)]
+    for trial in range(6):
+        ks = [rng.randrange(Q) for _ in pts]
+        if trial == 4:
+            ks[0], ks[1] = 0, Q - 1
+        if trial == 5:
+            ks = [0] * len(pts)
+        want = msm(ks, pts)
+        got = msm_ct(ks, pts)
+        assert hri.encode(got) == hri.encode(want), f"trial={trial}"
+    # single-point CT scalarmul against the python ladder
+    lib = native.get_lib()
+    for i in range(4):
+        k = rng.randrange(Q)
+        out = ctypes.create_string_buffer(128)
+        lib.spartan_ge_scalarmul_ct(
+            pts[i]._blob(), k.to_bytes(32, "little"), out)
+        assert Point._from_blob(out.raw).eq_ristretto(_py_mul(pts[i], k))
