@@ -414,12 +414,23 @@ def _msm_windows_pallas(scal_t: jnp.ndarray, tab,
 # XLA-side wrapper: table build, transpose, Horner combine
 # ---------------------------------------------------------------------------
 
+_tab_cache: dict = {}
+
+
 def _build_tab(gens):
     """16-entry multiples table as 4 arrays (16, H, R): entry v = v*G,
     coords transposed to (limb, lane) and zero-padded from 16 to H=32
     limb rows (the kernel's fixed-height layout; padding here is XLA,
-    where pad/concat are unrestricted)."""
+    where pad/concat are unrestricted).  Cached by generator-array
+    identity: commitment gens are long-lived module-level objects and
+    the 14 chained point adds here are pure overhead on every repeat
+    call otherwise."""
     from . import edwards as ed
+
+    key = id(gens.x)
+    hit = _tab_cache.get(key)
+    if hit is not None and hit[0] is gens.x:
+        return hit[1]
 
     tab = [ed.identity(gens.x.shape[:-1]), gens]
     for v in range(2, 16):
@@ -428,6 +439,7 @@ def _build_tab(gens):
     for c in range(4):
         t = jnp.stack([jnp.swapaxes(p[c], -1, -2) for p in tab], axis=0)
         out.append(jnp.pad(t, [(0, 0), (0, H - NLIMBS), (0, 0)]))
+    _tab_cache[id(gens.x)] = (gens.x, tuple(out))
     return tuple(out)
 
 
@@ -534,7 +546,12 @@ def _auto_rc(L: int, R: int) -> int:
     thresh = int(os.environ.get("SPARTAN_TPU_RC_UPGRADE_CALLS",
                                 str(_RC_UPGRADE_CALLS)))
     if _warm_intent() or calls >= thresh:
-        return _RC_WARM
+        # warm-optimal is SHAPE-dependent: big grids (R >= 1024) want
+        # RC=256 (0.024 s vs 46.5 s warm at 2^20); at small R the grid
+        # is short anyway and bigger cells lose on BOTH axes (2^14
+        # ladder: RC=32 = 234 s compile / 0.005 s warm vs RC=128 =
+        # 472 s / 0.023 s), so the cold config is already optimal.
+        return _RC_WARM if R >= 1024 else _RC_COLD
     return _RC_COLD
 
 

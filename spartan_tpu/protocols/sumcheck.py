@@ -34,31 +34,31 @@ from .sigma import DotProductProof
 
 
 def _use_device_prover() -> bool:
-    """Device-resident ZK round loops (zero host round-trips per round).
+    """Device-resident ZK round loops: OPT-IN ONLY
+    (SPARTAN_TPU_DEVICE_PROVER=1), measured SLOWER warm than the BR
+    host rounds in every regime tried:
 
-    Default policy ("auto"): ON when running on an accelerator AND the
-    process has declared warm intent (SPARTAN_TPU_EXPECT_REPS > 1 /
-    SPARTAN_TPU_SERVING=1, see curve/pallas_msm.py::_warm_intent) —
-    i.e. exactly the regime where the one-time traced-phase compile is
-    amortized and the per-round host<->relay round trip (~0.5-1 s
-    through the tunneled axon link, PERF.md) dominates the host path.
-    For cold one-shot proves the BR shape-stable host rounds (two small
-    compiles per phase) remain the measured-best default.
-    SPARTAN_TPU_DEVICE_PROVER=0/1 forces either way.  When a device
-    mesh is active the sharded host-path rounds are used regardless
-    (the device transcript is single-chip)."""
+    * round 5 A/B at 2^20 on the v5e, same process, warm
+      (artifacts/profile_nizk_20_tpu_r5.log): device phases 70 s each
+      vs BR host rounds 21-23 s — the per-round on-device Pedersen
+      ladders + ristretto compressions (hundreds of sequential tiny
+      ops each) cost ~3.5 s/round, far more than the ~0.03 s
+      fetch round-trip they avoid; and their traced executables add
+      ~1,240 s of per-process compile (rep-0 cold 2,092 s vs 404 s
+      for the BR first call in the same process).
+    * the ZK rounds are inherently host-coupled (each round's sigma
+      proof needs tape blinds), so unlike the non-ZK Spark layers
+      there is no all-device win to harvest.
+
+    When a device mesh is active the sharded host-path rounds are used
+    regardless (the device transcript is single-chip)."""
     import os
 
     from ..parallel import context as pctx
 
     if pctx.get_mesh() is not None:
         return False
-    v = os.environ.get("SPARTAN_TPU_DEVICE_PROVER", "auto")
-    if v in ("0", "1"):
-        return v == "1"
-    from ..curve.pallas_msm import _warm_intent
-
-    return jax.default_backend() != "cpu" and _warm_intent()
+    return os.environ.get("SPARTAN_TPU_DEVICE_PROVER", "0") == "1"
 
 
 def _use_device_nonzk() -> bool:
@@ -205,22 +205,40 @@ def _evals_br_jit(tables, which: str):
 # floor bounds the tail rounds' per-round traffic without adding
 # executables for every intermediate size.
 _TIER_FLOOR = 1 << 14
+_TIER_FACTOR = 4
 
 
 def _maybe_shrink(tables, live: int):
-    """Slice the padded tables straight to the floor once the live
-    region fits it.  Beyond `live` the tables are exactly zero (zero
-    folds to zero and contributes nothing to the evals), so slicing
-    never drops data.
+    """Slice the padded tables down as the live region halves.  Beyond
+    `live` the tables are exactly zero (zero folds to zero and
+    contributes nothing to the evals), so slicing never drops data.
 
-    ONE shrink only (not a geometric tier ladder): every distinct
-    table shape costs a fresh _step_br compile, and on the axon
-    backend — which cannot persist executables — a 2^20 phase under
-    the old /8 ladder paid THREE compiles (2^20, 2^17, 2^14 shapes)
-    where folding the dead zero tail costs microseconds of HBM
-    traffic.  Two shapes per phase is the compile-optimal schedule:
-    the full shape for the early rounds, the floor for the tail."""
+    Two schedules, picked by process intent (every distinct shape
+    costs a fresh _step_br compile, and the axon backend cannot
+    persist executables across processes):
+
+    * cold one-shot (default): ONE shrink straight to the floor once
+      live fits it — two shapes per phase, the compile-optimal
+      schedule.
+    * warm intent (SPARTAN_TPU_EXPECT_REPS>1 / SERVING): a /4 tier
+      ladder (2^20 -> 2^18 -> 2^16 -> floor).  MEASURED round 5
+      (artifacts/profile_nizk_20_tpu_r5.log): with the single-shrink
+      schedule a warm 2^20 phase spends 19.4 s folding mostly-dead
+      full-width tables (6 of ~20 rounds run at 2^20 width; the
+      per-round fetch stall ~0.92 s IS the table math).  The ladder
+      caps padded work at ~2.7x the live work for ~2 extra compiles
+      per phase — steady-state-optimal."""
+    from ..curve.pallas_msm import _warm_intent
+
     cur = tables[0].shape[0]
+    if _warm_intent():
+        new = cur
+        while (new > _TIER_FLOOR and live <= new // _TIER_FACTOR):
+            new //= _TIER_FACTOR
+        new = max(new, _TIER_FLOOR)
+        if new == cur:
+            return tables
+        return tuple(T[:new] for T in tables)
     if cur <= _TIER_FLOOR or live > _TIER_FLOOR:
         return tables
     return tuple(T[:_TIER_FLOOR] for T in tables)
