@@ -188,17 +188,35 @@ def _run_rowmsm(n_log2: int, r_size: int, rc: int, reps: int) -> None:
     gens = ed.from_host(pts)
     scalars = jnp.asarray(_rand_scalar_limbs(n)).reshape(L, R, 16)
 
+    import numpy as np
+
+    def _fetch_sync(arr):
+        """Force TRUE completion: d2h of one element.  Round-5 finding
+        (PERF.md): jax.block_until_ready through the axon relay can
+        return before the device work ran, and repeated identical
+        calls can be served from a relay-side cache — the round-3/4
+        sub-second 2^20 MSM 'measurements' were artifacts of exactly
+        that (the honest fetch-synced kernel time is ~8.1 s at 2^20
+        RC=256, artifacts/profile_nizk_20_tpu_r5b.log decomp)."""
+        np.asarray(arr[(0,) * (arr.ndim - 1)])
+
+    @jax.jit
+    def _perturb(s, k):
+        # distinct inputs every rep (defeats any relay memoization);
+        # keeps limbs 16-bit so scalars stay canonical
+        return s ^ (k & jnp.uint32(0x7FFF))
+
     _progress("[child] warmup row-MSM (pays the Mosaic/XLA compiles)")
     out = msm_mod.msm_rows(scalars, gens)
-    jax.block_until_ready(out.x)
+    _fetch_sync(out.x)
     _progress("[child] compiles done")
 
     baseline_pps = (1 << 20) / BASELINE_POLYCOMMIT_S
     best = None
     for i in range(reps):
         t0 = time.perf_counter()
-        out = msm_mod.msm_rows(scalars, gens)
-        jax.block_until_ready(out.x)
+        out = msm_mod.msm_rows(_perturb(scalars, jnp.uint32(i + 1)), gens)
+        _fetch_sync(out.x)
         dt = time.perf_counter() - t0
         _progress(f"[child] timed row-MSM {i + 1}/{reps} -> {dt:.3f} s")
         if best is None or dt < best:
@@ -217,11 +235,19 @@ def _run_rowmsm(n_log2: int, r_size: int, rc: int, reps: int) -> None:
 # Cold-path costs measured on the v5e through the axon relay (PERF.md
 # round-4 compile ladder + fresh child-process validations): each
 # rung's threshold is its measured full cold path + safety margin.
+#
+# HONEST round-5 expectations (fetch-synced timing; the round-3/4
+# sub-second warm claims were async/memoization artifacts, PERF.md):
+# the 2^20 RC=256 kernel really runs ~8.1 s warm = ~130 k pts/s =
+# ~0.33x the reference core — BELOW the host C++ Pippenger floor
+# (~0.69x).  The rungs stay because the chip number is the one this
+# tier exists to report; the parent's best-result selection will bank
+# the host floor when it wins.
 _AUTO_LADDER = [
-    (1150, 20, 1024, 256),  # ~850 s cold, ~40 M pts/s in-tier (~104x)
-    (380, 17, 32, 32),      # 261-327 s cold measured, 23 M pts/s (59.5x)
-    (330, 14, 32, 32),      # ~275 s cold, 1.3 M pts/s (3.38x, validated)
-    (0, 14, 8, 8),          # ~145 s cold, ~0.9 M pts/s (~2.3x)
+    (1150, 20, 1024, 256),  # ~850 s cold, ~8.1 s warm (~0.33x honest)
+    (380, 17, 32, 32),      # 261-327 s cold; same grid as above (~0.04x)
+    (330, 14, 32, 32),      # ~275 s cold (~0.02x honest)
+    (0, 14, 8, 8),          # ~145 s cold
 ]
 
 
@@ -476,19 +502,24 @@ def main() -> None:
         harvest(t)
 
     if results:
-        # end-to-end prove results outrank kernel-microbench results
-        # regardless of ratio: nizk_prove_s is the system metric the
-        # baseline actually states (README.md:413), while the MSM tier
-        # measures one kernel (VERDICT r4 weak #3 — a 40x kernel line
-        # must not mask a slower prover).  Within a metric class, best
-        # vs_baseline wins.
+        # end-to-end prove results at the baseline's own size class
+        # (n >= 2^18) outrank kernel-microbench results regardless of
+        # ratio: nizk_prove_s is the system metric the baseline states
+        # (README.md:413), and a kernel line must not mask a slower
+        # prover (VERDICT r4 weak #3).  Small-shape prove upgrades and
+        # MSM tiers compete on vs_baseline.
         def rank(r):
             vs, line, _lbl = r
+            big_prove = False
             try:
-                is_prove = json.loads(line).get("metric") == "nizk_prove_s"
+                d = json.loads(line)
+                big_prove = (d.get("metric") == "nizk_prove_s"
+                             and "2^1" in d.get("unit", "")
+                             and any(f"2^{k}" in d["unit"]
+                                     for k in (18, 19, 20, 21, 22)))
             except ValueError:
-                is_prove = False
-            return (1 if is_prove and vs > 0 else 0, vs)
+                pass
+            return (1 if big_prove and vs > 0 else 0, vs)
 
         results.sort(key=rank, reverse=True)
         _progress(f"best tier: {results[0][2]} "

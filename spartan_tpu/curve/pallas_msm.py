@@ -452,6 +452,18 @@ def _canonicalize(x):
 
 
 @jax.jit
+def _msm_tail(wins):
+    """Fused post-kernel chain: canonicalize all 4 coords + lane-block
+    reduction + Horner window combine in ONE executable.  The axon
+    relay charges a fixed ~0.5-0.9 s per executable invocation
+    (round-5 measurement: per-round cost is width-independent), so the
+    old 6-invocation tail cost ~5 s of pure dispatch at any size."""
+    wins = tuple(_canonicalize(c) for c in wins)
+    wins = _reduce_laneblocks(wins)
+    return _horner_windows(wins)
+
+
+@jax.jit
 def _horner_windows(wins):
     """wins: 4-tuple of (64, L, 16) canonical window sums (LSB-first
     windows).  Returns PointArray (L,): sum_w 16^w * S_w."""
@@ -610,9 +622,7 @@ def msm_rows_pallas(scalars: jnp.ndarray, gens,
             [scal_t, jnp.zeros((pad, NLIMBS, R + rpad), jnp.uint32)], axis=0)
     wins = _msm_windows_pallas(scal_t, tab, LB=LB, RC=RC,
                                interpret=interpret, lean=lean)
-    wins = tuple(_canonicalize(c) for c in wins)
-    wins = _reduce_laneblocks(wins)
-    out = _horner_windows(wins)
+    out = _msm_tail(wins)
     if pad:
         out = ed.PointArray(*(c[:L] for c in out))
     return out

@@ -424,8 +424,14 @@ class ZKSumcheckInstanceProof:
             es_dev = _evals_br_jit(tables, which)
         else:
             es_dev = jnp.stack(list(evals_fn(*tables)), axis=0)
+        import os as _os
+        import time as _time
+
+        trace = _os.environ.get("SPARTAN_TPU_ROUND_TRACE", "0") == "1"
         for j in range(num_rounds):
+            t0 = _time.perf_counter()
             es = fq.decode_to_ints(es_dev)
+            t_dec = _time.perf_counter() - t0
             e0 = es[0]
             evals = [e0, (claim_per_round - e0) % Q] + es[1:]
             poly = UniPoly.from_evals(evals)
@@ -435,7 +441,10 @@ class ZKSumcheckInstanceProof:
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
+            t0 = _time.perf_counter()
             rm = _r_mont(r_j)
+            t_rm = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             if mgr is not None:
                 if j + 1 < num_rounds:
                     es_dev = mgr.fold_evals(rm)
@@ -452,6 +461,13 @@ class ZKSumcheckInstanceProof:
                 tables, es_dev = _fold_then_evals(tables, rm, which)
             else:
                 tables = [dense.bound_var_top(T, rm) for T in tables]
+            if trace:
+                t_disp = _time.perf_counter() - t0
+                shape = (tables[0].shape[0] if stable and tables
+                         else -1)
+                print(f"    [round {j} shape {shape} decode "
+                      f"{t_dec*1e3:.1f}ms rmont {t_rm*1e3:.1f}ms "
+                      f"dispatch {t_disp*1e3:.1f}ms]", flush=True)
 
             eval_r = poly.evaluate(r_j)
             comm_eval = hri.encode(
