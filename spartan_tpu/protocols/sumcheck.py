@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -25,7 +26,7 @@ from ..core import ristretto as hri
 from ..core.field import Q
 from ..core.merlin import RandomTape, Transcript
 from ..curve.msm import vmsm
-from ..ff import fq
+from ..ff import fq, limb
 from ..poly import dense
 from ..poly.unipoly import UniPoly
 from ..utils.errors import ProofVerifyError
@@ -253,6 +254,44 @@ def _step_br(tables, r_m, which: str):
     return tuple(folded), es
 
 
+@partial(jax.jit, static_argnames=("which",))
+def _step_br_io(tables, r_canon, which: str):
+    """Single-program round step: Montgomery-encode the challenge,
+    fold, next-round evals, and decode the evals to canonical form all
+    inside ONE executable, so a round is exactly one program invocation
+    plus one small d2h fetch.  The split form (_r_mont program +
+    _step_br program + from_mont program + fetch) pays the relay's
+    per-invocation cost three times per round — measured round 5 as
+    the width-independent ~0.9 s/round floor of the in-prove phases."""
+    rm = fq.to_mont(r_canon)
+    folded = _fold_br(list(tables), rm)
+    es = jnp.stack(_evals_br(folded, which), axis=0)
+    return tuple(folded), fq.from_mont(es)
+
+
+@partial(jax.jit, static_argnames=("which",))
+def _evals_br_io_jit(tables, which: str):
+    return fq.from_mont(jnp.stack(_evals_br(list(tables), which), axis=0))
+
+
+@jax.jit
+def _fold_br_io_jit(tables, r_canon):
+    return tuple(_fold_br(list(tables), fq.to_mont(r_canon)))
+
+
+def _decode_canon(es_canon) -> list[int]:
+    """Fetch + int-decode of already-canonical limbs (the _io round
+    kernels moved from_mont on device); counts as one rt fetch."""
+    import time as _time
+
+    from ..utils import rt as _rt
+
+    t0 = _time.perf_counter()
+    arr = np.asarray(es_canon)
+    _rt.record(_time.perf_counter() - t0)
+    return limb.limbs_to_ints(arr)
+
+
 @jax.jit
 def _fold_br_jit(tables, r_m):
     return tuple(_fold_br(list(tables), r_m))
@@ -421,7 +460,7 @@ class ZKSumcheckInstanceProof:
         elif stable:
             tables = tuple(tables)
             live = tables[0].shape[0]
-            es_dev = _evals_br_jit(tables, which)
+            es_dev = _evals_br_io_jit(tables, which)
         else:
             es_dev = jnp.stack(list(evals_fn(*tables)), axis=0)
         import os as _os
@@ -430,7 +469,8 @@ class ZKSumcheckInstanceProof:
         trace = _os.environ.get("SPARTAN_TPU_ROUND_TRACE", "0") == "1"
         for j in range(num_rounds):
             t0 = _time.perf_counter()
-            es = fq.decode_to_ints(es_dev)
+            es = (_decode_canon(es_dev) if stable and mgr is None
+                  else fq.decode_to_ints(es_dev))
             t_dec = _time.perf_counter() - t0
             e0 = es[0]
             evals = [e0, (claim_per_round - e0) % Q] + es[1:]
@@ -442,32 +482,36 @@ class ZKSumcheckInstanceProof:
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             t0 = _time.perf_counter()
-            rm = _r_mont(r_j)
-            t_rm = _time.perf_counter() - t0
-            t0 = _time.perf_counter()
             if mgr is not None:
+                rm = _r_mont(r_j)
                 if j + 1 < num_rounds:
                     es_dev = mgr.fold_evals(rm)
                 else:
                     mgr.fold(rm)
             elif stable:
+                # one program invocation per round: challenge encode,
+                # fold, evals and canonical decode are all inside
+                # _step_br_io (see its docstring for the measurement)
+                r_canon = limb.int_to_limbs(r_j)
                 if j + 1 < num_rounds:
-                    tables, es_dev = _step_br(tables, rm, which)
+                    tables, es_dev = _step_br_io(tables, r_canon, which)
                     live //= 2  # post-fold live prefix of the new tables
                     tables = _maybe_shrink(tables, live)
                 else:
-                    tables = _fold_br_jit(tables, rm)
+                    tables = _fold_br_io_jit(tables, r_canon)
             elif which is not None and j + 1 < num_rounds:
+                rm = _r_mont(r_j)
                 tables, es_dev = _fold_then_evals(tables, rm, which)
             else:
+                rm = _r_mont(r_j)
                 tables = [dense.bound_var_top(T, rm) for T in tables]
             if trace:
                 t_disp = _time.perf_counter() - t0
                 shape = (tables[0].shape[0] if stable and tables
                          else -1)
                 print(f"    [round {j} shape {shape} decode "
-                      f"{t_dec*1e3:.1f}ms rmont {t_rm*1e3:.1f}ms "
-                      f"dispatch {t_disp*1e3:.1f}ms]", flush=True)
+                      f"{t_dec*1e3:.1f}ms dispatch {t_disp*1e3:.1f}ms]",
+                      flush=True)
 
             eval_r = poly.evaluate(r_j)
             comm_eval = hri.encode(
