@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..core.field import Q
 from ..core.merlin import Transcript
-from ..ff import fq
+from ..ff import fq, limb
 from ..poly import dense
 from ..poly.unipoly import UniPoly
 from ..utils.errors import ProofVerifyError
@@ -206,6 +206,52 @@ def _fold3_br_jit(A, Bt, C, r_m):
     return tuple(_fold1_br(T, r_m) for T in (A, Bt, C))
 
 
+# -- one-program round variants (mirror of sumcheck._step_br_io) ------------
+#
+# Challenge Montgomery-encode, fold, next-round evals and the
+# canonical decode of the evals all inside ONE executable, so a layer
+# round costs one program invocation + one small d2h fetch instead of
+# three invocations + fetch.  Measured round 5 (NIZK phases): the
+# relay's per-invocation cost is the width-independent ~0.9 s/round
+# floor of the in-prove rounds; Spark runs hundreds of such rounds.
+
+@jax.jit
+def _evals3_br_io_jit(A, Bt, C):
+    return fq.from_mont(jnp.stack(_evals3_br(A, Bt, C), axis=0))
+
+
+@jax.jit
+def _step3_br_io(A, Bt, C, r_canon):
+    r_m = fq.to_mont(r_canon)
+    A2, Bt2, C2 = (_fold1_br(T, r_m) for T in (A, Bt, C))
+    return A2, Bt2, C2, fq.from_mont(
+        jnp.stack(_evals3_br(A2, Bt2, C2), axis=0))
+
+
+@jax.jit
+def _fold3_br_io_jit(A, Bt, C, r_canon):
+    r_m = fq.to_mont(r_canon)
+    return tuple(_fold1_br(T, r_m) for T in (A, Bt, C))
+
+
+def _decode3_canon(ev) -> tuple[list[int], list[int], list[int]]:
+    """(3, B, 16) canonical limbs -> three length-B int lists, one
+    fetch (counted by utils.rt)."""
+    import time as _time
+
+    import numpy as _np
+
+    from ..ff import limb as _limb
+    from ..utils import rt as _rt
+
+    b = ev.shape[1]
+    t0 = _time.perf_counter()
+    arr = _np.asarray(ev).reshape(3 * b, 16)
+    _rt.record(_time.perf_counter() - t0)
+    flat = _limb.limbs_to_ints(arr)
+    return flat[:b], flat[b : 2 * b], flat[2 * b :]
+
+
 def _shrink3(tabs, live: int):
     cur = tabs[0].shape[1]
     if cur <= _BR_FLOOR or live > cur // _BR_FACTOR:
@@ -372,14 +418,16 @@ class ProductCircuitEvalProofBatched:
             e = claim
             r_round: list[int] = []
             live_r = m
+            io = br and mgr is None  # one-program rounds (canonical evs)
             if mgr is not None:
                 ev = mgr.evals()
             elif br:
-                ev = _evals3_br_jit(A, Bt, C_b) if num_rounds else None
+                ev = _evals3_br_io_jit(A, Bt, C_b) if num_rounds else None
             else:
                 ev = _evals3_stacked(A, Bt, C_b) if num_rounds else None
             for k in range(num_rounds):
-                e0v, e2v, e3v = _decode3(ev)
+                e0v, e2v, e3v = (_decode3_canon(ev) if io
+                                 else _decode3(ev))
                 e0 = sum(c * v for c, v in zip(coeffs, e0v)) % Q
                 e2 = sum(c * v for c, v in zip(coeffs, e2v)) % Q
                 e3 = sum(c * v for c, v in zip(coeffs, e3v)) % Q
@@ -387,23 +435,26 @@ class ProductCircuitEvalProofBatched:
                 poly.append_to_transcript(b"poly", transcript)
                 r_j = transcript.challenge_scalar(b"challenge_nextround")
                 r_round.append(r_j)
-                rm = _r_mont(r_j)
                 if mgr is not None:
+                    rm = _r_mont(r_j)
                     if k + 1 < num_rounds:
                         ev = mgr.step(rm)
                     else:
                         mgr.fold(rm)
                         A, Bt, C_b = mgr.tables
                 elif br:
+                    r_canon = limb.int_to_limbs(r_j)
                     if k + 1 < num_rounds:
-                        A, Bt, C_b, ev = _step3_br_jit(A, Bt, C_b, rm)
+                        A, Bt, C_b, ev = _step3_br_io(A, Bt, C_b, r_canon)
                         live_r //= 2
                         A, Bt, C_b = _shrink3((A, Bt, C_b), live_r)
                     else:
-                        A, Bt, C_b = _fold3_br_jit(A, Bt, C_b, rm)
+                        A, Bt, C_b = _fold3_br_io_jit(A, Bt, C_b, r_canon)
                 elif k + 1 < num_rounds:
+                    rm = _r_mont(r_j)
                     A, Bt, C_b, ev = _step3(A, Bt, C_b, rm)
                 else:
+                    rm = _r_mont(r_j)
                     A, Bt, C_b = _fold3(A, Bt, C_b, rm)
                 e = poly.evaluate(r_j)
                 compressed.append(poly.compress())

@@ -63,27 +63,29 @@ def _use_device_prover() -> bool:
 
 
 def _use_device_nonzk() -> bool:
-    """Device-resident NON-ZK round loops (Spark's product/hash layer
-    sumchecks): whole layers run as one traced dispatch through the
-    device transcript — no per-round blinds or sigma proofs exist in
-    these rounds, so the traced graph is pure field ops + STROBE and
-    compiles far cheaper than the ZK phases.  Default ON on
-    accelerators (the alternative costs one host<->relay round trip
-    per round; a 2^16 Spark proof has ~240 of them = the 273.9 s warm
-    bill of round 4, artifacts/profile_snark_16_tpu_r4.log).  On the
-    CPU backend the per-layer traced graphs explode LLVM, so the BR
-    shape-stable host rounds stay.  SPARTAN_TPU_DEVICE_NONZK=0/1
-    overrides."""
+    """Device-resident NON-ZK round loops (Spark's product layers as
+    whole-layer traced dispatches through the device transcript):
+    OPT-IN ONLY (SPARTAN_TPU_DEVICE_NONZK=1).
+
+    Round-5 measurement killed the auto-default: at 2^16 the per-layer
+    traced executables (one per (width, batch, claims, rand) combo,
+    ~33 of them, each containing every round body + STROBE absorbs)
+    spent >95 minutes in XLA compile on the axon backend before rep 0
+    could finish (artifacts/profile_snark_16_tpu_r5.log, killed), and
+    the backend cannot persist executables across processes — every
+    fresh prover pays it again.  The BR host layers prove the same
+    bytes with ~10 small shape-tiered executables; their per-round
+    fetch cost is addressed by the one-program round consolidation
+    (_step3_br_io), not by moving the transcript on device.  The
+    device-layer code remains for warm-serving processes that prove
+    many times behind one compile bill."""
     import os
 
     from ..parallel import context as pctx
 
     if pctx.get_mesh() is not None:
         return False
-    v = os.environ.get("SPARTAN_TPU_DEVICE_NONZK", "auto")
-    if v in ("0", "1"):
-        return v == "1"
-    return jax.default_backend() != "cpu"
+    return os.environ.get("SPARTAN_TPU_DEVICE_NONZK", "0") == "1"
 
 
 def _to_int(x: jnp.ndarray) -> int:
