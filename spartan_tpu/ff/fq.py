@@ -93,6 +93,24 @@ def from_mont(a: jnp.ndarray) -> jnp.ndarray:
     return redc(limb.pad_limbs(a, WIDE))
 
 
+# REDC holds ~8x the input bytes in live intermediates; a single
+# (2^24, 16) from_mont peaked 16.52 G / 15.75 G HBM at SNARK-2^20
+# encode (artifacts/profile_snark_20_tpu_r5.log, OOM).  Tables above
+# this row count convert in equal power-of-two chunks (one compiled
+# shape, +1 concat).
+_FROM_MONT_CHUNK = 1 << 22
+
+
+def from_mont_big(a: jnp.ndarray) -> jnp.ndarray:
+    """from_mont with bounded peak memory for huge (n, 16) tables."""
+    if a.ndim != 2 or a.shape[0] <= _FROM_MONT_CHUNK:
+        return from_mont(a)
+    n = a.shape[0]
+    outs = [from_mont(a[i : i + _FROM_MONT_CHUNK])
+            for i in range(0, n, _FROM_MONT_CHUNK)]
+    return jnp.concatenate(outs, axis=0)
+
+
 def reduce_wide(w: jnp.ndarray) -> jnp.ndarray:
     """Arbitrary (..., <=32 limb) integer -> canonical w mod q.
 

@@ -76,7 +76,7 @@ def commit(Z: jnp.ndarray, gens: PolyCommitmentGens,
             _jax.block_until_ready(x)
 
     t = Timer("commit::from_mont")
-    scalars = fq.from_mont(Z).reshape(L_size, R_size, 16)
+    scalars = fq.from_mont_big(Z).reshape(L_size, R_size, 16)
     from ..parallel import context as pctx
 
     mesh = pctx.get_mesh()
