@@ -602,6 +602,27 @@ def msm_rows_pallas(scalars: jnp.ndarray, gens,
     if RC is None:
         rc_env = os.environ.get("SPARTAN_TPU_PALLAS_RC", "auto")
         RC = _auto_rc(L, R) if rc_env == "auto" else int(rc_env)
+
+    # Cap the per-call grid at the proven envelope: the 2^20 NIZK
+    # kernel runs 32,768 grid steps / ~0.5 GB of lane-block buffers;
+    # the SNARK-2^20 comb shape (4096x4096, 524,288 steps, ~4.3 GB
+    # buffers + a 4x bigger tail) CRASHED the TPU worker
+    # (artifacts/profile_snark_20_tpu_r5.log, attempt 2).  Larger row
+    # counts run as independent row blocks — commitments are
+    # row-independent, so outputs concatenate exactly.
+    max_grid = int(os.environ.get("SPARTAN_TPU_PALLAS_MAX_GRID", "32768"))
+    nblk_est = 1 << max((-(-R // min(RC, max(R, 1))) - 1).bit_length(), 0)
+    lb_rows = max(LB, (max_grid * LB) // max(nblk_est * 64, 1))
+    lb_rows -= lb_rows % LB
+    if L > lb_rows:
+        from . import edwards as ed
+
+        outs = [msm_rows_pallas(scalars[i : i + lb_rows], gens,
+                                LB=LB, RC=RC, interpret=interpret,
+                                lean=lean)
+                for i in range(0, L, lb_rows)]
+        return ed.PointArray(*(jnp.concatenate(cs, axis=0)
+                               for cs in zip(*outs)))
     RC = min(RC, 1 << max((R - 1).bit_length(), 0)) if R > 1 else 1
     # tpu.dynamic_rotate requires lane-aligned (multiple-of-128)
     # shapes; below that the unrolled trees are small anyway.

@@ -91,6 +91,36 @@ def carry_prop(acc: jnp.ndarray) -> jnp.ndarray:
 # Wide multiply / small multiply / add / sub
 # ---------------------------------------------------------------------------
 
+_IMPL_OVERRIDE: str | None = None
+
+
+class mul_impl_override:
+    """Scope a mul formulation: ``with limb.mul_impl_override("loop"):``.
+
+    Round-5 need: the unrolled form's accumulator chain holds ~22 live
+    copies, which at Spark-2^20 batched shapes exceeds the compiler's
+    memory (35.7 G > 15.75 G HBM estimate, and the relay's XLA compile
+    helper got OOM-killed on the loop form at single-batch 2^20 phase
+    shapes) — so the NIZK phases keep "unrolled" (proven at 2^20)
+    while the batched Spark section scopes "loop".  Outputs are
+    identical either way; jit caches key on shapes, and the two
+    regimes use disjoint shapes (single-batch (n, 16) vs batched
+    (B, n, 16)), so cached executables never cross regimes in
+    practice."""
+
+    def __init__(self, impl: str):
+        self.impl = impl
+
+    def __enter__(self):
+        global _IMPL_OVERRIDE
+        self._old = _IMPL_OVERRIDE
+        _IMPL_OVERRIDE = self.impl
+
+    def __exit__(self, *exc):
+        global _IMPL_OVERRIDE
+        _IMPL_OVERRIDE = self._old
+
+
 def _mul_impl() -> str:
     """Schoolbook formulation: "unrolled" (16 static partial products via
     dynamic-update-slice — biggest graph, fastest steady-state) or
@@ -105,6 +135,8 @@ def _mul_impl() -> str:
     """
     import os
 
+    if _IMPL_OVERRIDE is not None:
+        return _IMPL_OVERRIDE
     v = os.environ.get("SPARTAN_TPU_MUL_IMPL")
     if v is not None:
         return v

@@ -140,13 +140,18 @@ _BR_FACTOR = 4        # shrink a tier once live <= shape/4
 
 
 def _tier_up(n: int) -> int:
-    """Snap n up to the {_BR_FLOOR * 4^j} grid: every build step and
-    every layer-round executable runs at one of ~4 shapes total, shared
-    across all layers of all proofs of a given instance size (<= 4x
-    padded elementwise work, elementwise ms at these sizes)."""
+    """Snap n up to the {_BR_FLOOR * 2^j} grid: every build step and
+    every layer-round executable runs at one of a handful of shapes,
+    shared across all layers of all proofs of a given instance size.
+
+    The grid was 4^j through round 4; at SNARK-2^20 shapes the x4
+    snap padded the top ops layer from 2^19 to 2^20 width, doubling
+    the already-HBM-critical round transients (the (18, 2^19, 16)
+    eval comb peaks ~12 G with loop-form muls) — the x2 grid costs a
+    few extra build-step compiles and halves that peak."""
     t = _BR_FLOOR
     while t < n:
-        t *= 4
+        t *= 2
     return t
 
 

@@ -60,9 +60,25 @@ def _fold_bot_host(vals: list[int], challenges: list[int]) -> int:
 
 
 def _evaluate_batched(polys: jnp.ndarray, r: list[int]) -> list[int]:
-    """Evaluate B polynomials (B, n, 16) at the same point r."""
+    """Evaluate B polynomials (B, n, 16) at the same point r.
+
+    Width-chunked above 2^18 per instance-row: the single-program
+    (15, 2^20, 16) hash-layer evaluation otherwise holds tens of GB of
+    mul intermediates (SNARK-2^20 compile OOM class).  Modular partial
+    sums combine exactly."""
     chis = dense.eq_evals(r)
-    return fq.decode_to_ints(fq.sum_mod(fq.mul(polys, chis[None]), axis=1))
+    n = polys.shape[1]
+    ch = 1 << 18
+    if polys.shape[0] * n <= (3 << 18):
+        return fq.decode_to_ints(
+            fq.sum_mod(fq.mul(polys, chis[None]), axis=1))
+    parts = [
+        fq.sum_mod(fq.mul(polys[:, i : i + ch], chis[None, i : i + ch]),
+                   axis=1)
+        for i in range(0, n, ch)
+    ]
+    return fq.decode_to_ints(
+        fq.sum_mod(jnp.stack(parts, axis=1), axis=1))
 
 
 def _identity_table(n: int) -> jnp.ndarray:
@@ -771,25 +787,37 @@ class SparseMatPolyEvalProof:
     def prove(dense_rep: MultiSparseMatPolynomialAsDense, rx, ry,
               evals: list[int], gens: SparseMatPolyCommitmentGens,
               transcript: Transcript, tape: RandomTape):
+        from ..ff import limb as _limb
+
         transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
         assert len(evals) == dense_rep.batch_size
 
-        rx_ext, ry_ext = _equalize(rx, ry)
-        mem_rx = dense.eq_evals(rx_ext)
-        mem_ry = dense.eq_evals(ry_ext)
-        derefs = dense_rep.deref(mem_rx, mem_ry)
+        # Scope the loop-form limb muls over the whole Spark prove: its
+        # kernels run INSTANCE-BATCHED (B..4B+2B, n, 16) tables, where
+        # the unrolled mul's ~22 live accumulator copies exceed HBM at
+        # 2^20 shapes (35.7 G compile-time OOM, attempt-3 log).  The
+        # single-batch ZK phases keep the unrolled form — the loop
+        # graphs there OOM-killed the relay's compile helper.
+        with _limb.mul_impl_override("loop"):
+            rx_ext, ry_ext = _equalize(rx, ry)
+            mem_rx = dense.eq_evals(rx_ext)
+            mem_ry = dense.eq_evals(ry_ext)
+            derefs = dense_rep.deref(mem_rx, mem_ry)
 
-        t_commit = Timer("commit_nondet_witness")
-        comm_derefs = derefs.commit(gens.gens_derefs)
-        comm_derefs.append_to_transcript(b"comm_poly_row_col_ops_val", transcript)
-        t_commit.stop()
+            t_commit = Timer("commit_nondet_witness")
+            comm_derefs = derefs.commit(gens.gens_derefs)
+            comm_derefs.append_to_transcript(
+                b"comm_poly_row_col_ops_val", transcript)
+            t_commit.stop()
 
-        r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
-        t_net = Timer("build_layered_network+evalproof_layered_network")
-        proof = PolyEvalNetworkProof.prove(
-            dense_rep, derefs, mem_rx, mem_ry,
-            (r_mem_check[0], r_mem_check[1]), evals, gens, transcript, tape)
-        t_net.stop()
+            r_mem_check = transcript.challenge_vector(
+                b"challenge_r_hash", 2)
+            t_net = Timer("build_layered_network+evalproof_layered_network")
+            proof = PolyEvalNetworkProof.prove(
+                dense_rep, derefs, mem_rx, mem_ry,
+                (r_mem_check[0], r_mem_check[1]), evals, gens,
+                transcript, tape)
+            t_net.stop()
         return SparseMatPolyEvalProof(comm_derefs, proof)
 
     def verify(self, comm: SparseMatPolyCommitment, rx, ry,
