@@ -101,14 +101,20 @@ def test_device_product_layers_match_host():
     rng = np.random.default_rng(11)
     B, n = 3, 16
 
-    def batch(seed):
+    def batch(seed, width=n):
         r = np.random.default_rng(seed)
         return jnp.stack([
-            dense.from_ints([int(x) for x in r.integers(1, 1 << 60, size=n)])
+            dense.from_ints(
+                [int(x) for x in r.integers(1, 1 << 60, size=width)])
             for _ in range(B)])
 
     leaves = batch(1)
-    dotp = DotProductCircuitBatch(batch(2), batch(3), batch(4))
+    # dotp (seq-set) tables must match the layer-0 width n/2 — Spark
+    # always passes the interleaved HALVES (sparse_mlpoly.rs:1089-1118);
+    # full-width dotp inputs are protocol-invalid and now rejected by
+    # the host path's instance-axis concatenation
+    dotp = DotProductCircuitBatch(
+        batch(2, n // 2), batch(3, n // 2), batch(4, n // 2))
 
     th = Transcript(b"prodlayers")
     proof_h, rand_h = ProductCircuitEvalProofBatched.prove(
