@@ -61,6 +61,14 @@ class R1CSEvalProof:
     def prove(decomm: R1CSDecommitment, rx, ry, evals: tuple,
               gens: R1CSCommitmentGens, transcript: Transcript,
               tape: RandomTape) -> "R1CSEvalProof":
+        # Epoch boundary: the R1CS sat proof's device buffers (phase
+        # tables, eq/SpMV state — several GB at 2^20) are dead here but
+        # may linger in Python GC cycles; collect before the Spark
+        # epoch's large allocations (2^20 attempt-5 died allocating the
+        # derefs comb with RESOURCE_EXHAUSTED on a ~5 GB live set).
+        import gc
+
+        gc.collect()
         t = Timer("R1CSEvalProof::prove")
         proof = SparseMatPolyEvalProof.prove(
             decomm.dense, rx, ry, list(evals), gens.gens, transcript, tape)
